@@ -1,0 +1,264 @@
+"""Deterministic fixture generators (FIXTURES.md) — fixed seed, no wall clock, no I/O.
+
+Generates the four fixture tables as pandas frames (Arrow-converted to Spark):
+- ``images``   : input_hint schema; encoded PNG/fake-JPEG pixels + phash; each image_id
+                 maps deterministically to a (lat, lon) point clustered around urban
+                 hot spots (skew driver) plus a uniform background.
+- ``polygons`` : ONDC-shaped serviceability areas in the reference's normalized
+                 FeatureCollection shape, incl. adversarial rings (CW winding, concave,
+                 bow-tie, cell-straddling, one oversized skew driver).
+- ``locations``: the reference's upload CSV incl. golden rows from backend/sample.csv
+                 and one negative vector per validation predicate P1-P11.
+- ``lineage``  : ~200 run rows mirroring backend/models/csvfile.py metrics columns.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import numpy as np
+import pandas as pd
+
+from geojson_utility_spark.functions import geometry as G
+from geojson_utility_spark.functions import imaging as I
+
+SEED = 42
+
+# Urban hot spots (lat, lon, weight) — drive H3-cell skew like real seller density.
+HOTSPOTS = [
+    (28.6139, 77.2090, 0.30),  # Delhi
+    (19.0760, 72.8777, 0.25),  # Mumbai
+    (12.9716, 77.5946, 0.15),  # Bengaluru
+    (13.0827, 80.2707, 0.10),  # Chennai
+]
+_BG_WEIGHT = 1.0 - sum(w for _, _, w in HOTSPOTS)
+
+
+def image_point(image_ids: np.ndarray | list[str]) -> pd.DataFrame:
+    """Deterministic image_id -> (lat, lon): hot-spot clustered + uniform background.
+
+    Pure integer hashing of the id string (FNV-1a), no RNG state — the same id always
+    maps to the same point on every executor.
+    """
+    ids = np.asarray(image_ids, dtype=object)
+    h = _fnv1a64(ids)
+    u_sel = (h % np.uint64(10_000)).astype(np.float64) / 10_000.0  # cluster selector
+    h2 = _mix(h)
+    h3_ = _mix(h2)
+    u1 = (h2 % np.uint64(1_000_000)).astype(np.float64) / 1_000_000.0
+    u2 = (h3_ % np.uint64(1_000_000)).astype(np.float64) / 1_000_000.0
+    lat = np.empty(len(ids))
+    lon = np.empty(len(ids))
+    # background: uniform over India-ish bbox
+    lat[:] = 8.0 + u1 * (34.0 - 8.0)
+    lon[:] = 68.0 + u2 * (92.0 - 68.0)
+    acc = _BG_WEIGHT
+    for clat, clon, w in HOTSPOTS:
+        sel = (u_sel >= acc) & (u_sel < acc + w)
+        # ~10km gaussian-ish blob via Box-Muller on the two uniforms
+        r = np.sqrt(-2.0 * np.log(np.clip(u1[sel], 1e-9, 1.0))) * 0.05
+        th = 2.0 * np.pi * u2[sel]
+        lat[sel] = clat + r * np.sin(th)
+        lon[sel] = clon + r * np.cos(th)
+        acc += w
+    return pd.DataFrame({"image_id": ids, "lat": lat, "lon": lon})
+
+
+def _fnv1a64(ids: np.ndarray) -> np.ndarray:
+    out = np.empty(len(ids), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(ids):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in str(s).encode():
+                h = (h ^ np.uint64(ch)) * np.uint64(0x100000001B3)
+            out[i] = h
+    return out
+
+
+def _mix(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def make_images(n: int = 200, seed: int = SEED) -> pd.DataFrame:
+    """The input_hint table: deterministic pixel patterns, real PNG + fake-JPEG bytes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        image_id = f"img_{i:012d}"
+        w = int(rng.integers(8, 65))
+        h = int(rng.integers(8, 65))
+        # deterministic per-id pixel pattern (gradient + id-derived phase)
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = int(_fnv1a64(np.array([image_id]))[0] % np.uint64(256))
+        px = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + phase) % 256,
+                (yy * 255 // max(h - 1, 1)) % 256,
+                (xx + yy + phase) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        data = I.encode_image(px, fmt)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"caption of {image_id}",
+                "phash": I.phash64(px),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_polygons(n: int = 40, seed: int = SEED) -> pd.DataFrame:
+    """ONDC-shaped catchments around hotspot-bias centers + adversarial rings."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        pid = f"poly_{i:06d}"
+        hs = HOTSPOTS[i % len(HOTSPOTS)]
+        clat = hs[0] + float(rng.normal(0, 0.2))
+        clon = hs[1] + float(rng.normal(0, 0.2))
+        magnitude = float(rng.integers(500, 20000))
+        ring = G.synth_catchment_ring(clat, clon, magnitude, "drive_distance")
+        if i % 7 == 1:
+            ring = ring[::-1].copy()  # CW winding — normalizer must flip
+        if i == 13:  # one bow-tie — must be flagged invalid
+            ring = np.array(
+                [[clon, clat], [clon + 0.1, clat + 0.1], [clon + 0.1, clat],
+                 [clon, clat + 0.1], [clon, clat]]
+            )
+        if i == 17:  # oversized skew driver — covers many cells
+            ring = G.synth_catchment_ring(clat, clon, 150000, "drive_distance", 48)
+        rows.append(
+            {
+                "polygon_id": pid,
+                "snp_id": f"snp_{i % 5}.com",
+                "provider_id": f"provider{i % 9}",
+                "location_id": f"L{i}",
+                "geojson": json.dumps(G.wrap_polygon_feature_collection(ring)),
+                "centroid_lat": float(f"{clat:.4f}"),
+                "centroid_lon": float(f"{clon:.4f}"),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+GOLDEN_LOCATION_ROWS = [
+    # verbatim backend/sample.csv rows 1-2
+    ("sample_seller", "sample_provider", "L1", "28.5065162,77.073938", "500.5", ""),
+    ("sample_seller", "sample_provider", "L2", "30.7135305,76.7454157", "", "20.5"),
+]
+
+NEGATIVE_LOCATION_ROWS = [
+    # one per predicate P6-P11 (file-level P2-P5 are exercised separately)
+    ("", "prov", "L10", "28.5065,77.0739", "100", ""),          # P6 empty snp_id
+    ("a" * 256, "prov", "L11", "28.5065,77.0739", "100", ""),    # P6 >255 chars
+    ("bad id!", "prov", "L12", "28.5065,77.0739", "100", ""),    # P6 invalid chars
+    ("ok", "prov", "L13", "28.506,77.0739", "100", ""),          # P7 3-decimal lat
+    ("ok", "prov", "L14", "95.5065,77.0739", "100", ""),         # P7 out-of-range lat
+    ("ok", "prov", "L15", "28.5065", "100", ""),                  # P7 one part
+    ("ok", "prov", "L16", "28.5065,77.0739", "", ""),            # P11 both empty
+    ("ok", "prov", "L17", "28.5065,77.0739", "abc", ""),         # P11 non-numeric
+    ("ok", "prov", "L18", "28.5065,77.0739", "-5", ""),          # P11 negative
+    ("ok", "prov", "L19", "28.5065,77.0739", "100001", ""),      # P11 over-bound dist
+    ("ok", "prov", "L20", "28.5065,77.0739", "", "10001"),       # P11 over-bound time
+    ("ok", "prov", "L21", "28.5065,77.0739", "-1", "15.7"),      # dist invalid -> time used
+]
+
+
+def make_locations(n_extra: int = 50, seed: int = SEED) -> pd.DataFrame:
+    """Golden + negative vectors + n_extra deterministic valid rows."""
+    rng = np.random.default_rng(seed)
+    rows = list(GOLDEN_LOCATION_ROWS) + list(NEGATIVE_LOCATION_ROWS)
+    for i in range(n_extra):
+        hs = HOTSPOTS[i % len(HOTSPOTS)]
+        lat = hs[0] + float(rng.normal(0, 0.3))
+        lon = hs[1] + float(rng.normal(0, 0.3))
+        use_dist = i % 3 != 0
+        rows.append(
+            (
+                f"seller_{i}.com",
+                f"provider{i % 7}",
+                f"LX{i}",
+                f"{lat:.7f},{lon:.7f}",
+                str(int(rng.integers(100, 5000))) if use_dist else "",
+                "" if use_dist else str(int(rng.integers(5, 120))),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "snp_id", "provider_id", "location_id",
+            "location_gps", "drive_distance", "drive_time",
+        ],
+    )
+
+
+def make_lineage(n: int = 200, seed: int = SEED) -> pd.DataFrame:
+    """~200 seeded run rows across users/statuses/dates (FIXTURES.md §4).
+
+    Anchored at a fixed epoch (2026-01-01) — no wall clock — so 7-day-window queries
+    are computed against that anchor, not now().
+    """
+    rng = np.random.default_rng(seed)
+    anchor = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    statuses = ["pending", "processing", "done", "partial", "failed"]
+    rows = []
+    for i in range(n):
+        status = statuses[int(rng.integers(0, 5))]
+        created = anchor - dt.timedelta(hours=float(rng.uniform(0, 24 * 30)))
+        total = int(rng.integers(1, 1000))
+        failed = int(rng.integers(0, total + 1)) if status in ("partial", "failed") else 0
+        done_rows = total - failed if status in ("done", "partial", "failed") else 0
+        started = created + dt.timedelta(seconds=int(rng.integers(1, 60)))
+        completed = (
+            started + dt.timedelta(seconds=int(rng.integers(1, 600)))
+            if status in ("done", "partial", "failed")
+            else None
+        )
+        dl = int(rng.integers(0, 10)) if status == "done" else 0
+        rows.append(
+            {
+                "run_id": i,
+                "filename": f"upload_{i}.csv",
+                "username": f"user{i % 8}",
+                "user_id": i % 8,
+                "created_at": created.replace(tzinfo=None),
+                "status": status,
+                "error": "" if status in ("done", "pending", "processing") else "boom",
+                "total_rows": total,
+                "successful_rows": done_rows,
+                "failed_rows": failed,
+                "processing_started_at": started.replace(tzinfo=None),
+                "processing_completed_at": completed.replace(tzinfo=None) if completed else None,
+                "processing_duration_seconds": (
+                    int((completed - started).total_seconds()) if completed else None
+                ),
+                "download_count": dl,
+                "last_downloaded_at": (
+                    (completed + dt.timedelta(hours=1)).replace(tzinfo=None)
+                    if completed and dl
+                    else None
+                ),
+                "first_downloaded_at": (
+                    (completed + dt.timedelta(minutes=5)).replace(tzinfo=None)
+                    if completed and dl
+                    else None
+                ),
+                "lepton_api_calls_made": done_rows,
+                "tokens_consumed": done_rows,
+                "partition_id": i % 32,
+                "stage": "enrich",
+            }
+        )
+    return pd.DataFrame(rows)
