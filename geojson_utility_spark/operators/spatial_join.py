@@ -1,0 +1,234 @@
+"""The flagship two-phase spatial join: broadcast cell-candidate join + exact PIP refine.
+
+Semantics: ``points JOIN polygons ON ST_Covers(polygon, point)`` — the Spark-native
+re-expression of the reference's per-row enrichment join (SURVEY.md §2.3; the reference
+fetches one polygon per point over HTTPS; we invert it into a set-oriented join).
+
+Physical plan, designed for 10^12 points vs ~10^5 polygons:
+
+1. **Polygon side (small)**: parse + validate + normalize each GeoJSON document in
+   ``mapInPandas`` batches; cover each polygon with index cells at a fixed join zoom
+   (conservative covering — superset, no false negatives); optionally compact the cover
+   to mixed zooms to bound cover size for oversized polygons.
+2. **Point side (huge)**: cell assignment is a pure Catalyst expression
+   (functions/spark_geo.py) — stays inside whole-stage codegen, columns pruned to
+   (id, lat, lon), predicate pushdown unaffected.
+3. **Candidate join**: ``points.join(broadcast(cover), 'cell')`` — broadcast hash join,
+   ZERO shuffle of the trillion-row side.  With a compacted cover the point side probes
+   once per distinct cover zoom (ancestor cells derived by bit-shift expressions, still
+   no UDF).
+4. **Refine**: candidates grouped per polygon; vectorized numpy ray-cast PIP inside
+   ``applyInPandas`` (Arrow batches).  Optional salting splits hot polygons (urban
+   covers) across ``salt`` tasks — the known-a-priori skew killer; AQE skew-join is the
+   runtime fallback (SURVEY.md §4).
+
+At 1000 executors: stage 2-3 is map-only; the only shuffle is the refine exchange of
+*candidates* (points that hit a cover cell), hash-partitioned by (polygon_id, salt) —
+orders of magnitude smaller than the input, and balanced by construction.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geojson_utility_spark.functions import cells as C
+from geojson_utility_spark.functions import geometry as G
+from geojson_utility_spark.functions import pip as P
+from geojson_utility_spark.functions.spark_geo import cell_expr, cell_parent_expr
+
+DEFAULT_JOIN_ZOOM = 13  # ≈ H3 res 7 tile size (~5 km); SURVEY.md §2.3
+
+POLYGON_NORM_SCHEMA = T.StructType(
+    [
+        T.StructField("polygon_id", T.StringType()),
+        T.StructField("ring_json", T.StringType()),  # normalized outer ring [[lon,lat]..]
+        T.StructField("poly_errors", T.StringType()),
+        T.StructField("n_vertices", T.IntegerType()),
+        T.StructField("area", T.DoubleType()),
+    ]
+)
+
+COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("polygon_id", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("cell_zoom", T.IntegerType()),
+        T.StructField("ring_json", T.StringType()),
+    ]
+)
+
+
+def normalize_polygons(polygons: DataFrame) -> DataFrame:
+    """geojson string column -> validated, winding-normalized outer rings.
+
+    Invalid polygons are retained with ``poly_errors`` set (filter-that-annotates, same
+    contract as row validation) — callers filter ``poly_errors == ''`` for the join.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, gj in zip(pdf["polygon_id"], pdf["geojson"]):
+                norm, err = G.normalize_polygon_geojson(gj)
+                if err:
+                    rows.append((pid, None, err, None, None))
+                else:
+                    ring = G.extract_outer_ring(norm)
+                    arr = np.asarray(ring, dtype=np.float64)
+                    rows.append(
+                        (
+                            pid,
+                            json.dumps(ring),
+                            "",
+                            int(arr.shape[0]),
+                            abs(G.signed_area(arr)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["polygon_id", "ring_json", "poly_errors", "n_vertices", "area"]
+            )
+
+    return polygons.select("polygon_id", "geojson").mapInPandas(
+        batches, POLYGON_NORM_SCHEMA
+    )
+
+
+def polygon_cover(
+    polygons: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM, compact: bool = False
+) -> DataFrame:
+    """(polygon_id, cell, cell_zoom, ring_json) covering rows for valid polygons.
+
+    ``compact=True`` merges complete sibling sets to coarser cells — bounds the cover
+    size of oversized polygons (the reference's 150km catchments) at the cost of
+    multi-probe on the point side.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_pid, out_cell, out_zoom, out_ring = [], [], [], []
+            for pid, rj in zip(pdf["polygon_id"], pdf["ring_json"]):
+                if rj is None:
+                    continue
+                ring = np.asarray(json.loads(rj), dtype=np.float64)
+                cover = C.polygon_to_cells(ring, zoom)
+                if compact:
+                    cover = C.compact_cells(cover)
+                zs = C.unpack_cell(cover)[0]
+                out_pid.extend([pid] * len(cover))
+                out_cell.extend(cover.tolist())
+                out_zoom.extend(zs.tolist())
+                out_ring.extend([rj] * len(cover))
+            yield pd.DataFrame(
+                {
+                    "polygon_id": out_pid,
+                    "cell": pd.array(out_cell, dtype="int64"),
+                    "cell_zoom": pd.array(out_zoom, dtype="int32"),
+                    "ring_json": out_ring,
+                }
+            )
+
+    valid = polygons.filter(F.col("poly_errors") == "")
+    return valid.mapInPandas(batches, COVER_SCHEMA)
+
+
+PIP_RESULT_SCHEMA = "point_id string, lat double, lon double, polygon_id string"
+
+
+def _refine_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact PIP for one (salted) polygon group — vectorized ray cast, covers
+    semantics (boundary-inclusive)."""
+    if pdf.empty:
+        return pd.DataFrame(
+            {"point_id": [], "lat": [], "lon": [], "polygon_id": []}
+        )
+    ring = np.asarray(json.loads(pdf["ring_json"].iloc[0]), dtype=np.float64)
+    inside = P.points_in_polygon(
+        pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), [ring]
+    )
+    hit = pdf.loc[inside, ["point_id", "lat", "lon", "polygon_id"]]
+    return hit
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    compact: bool = False,
+    salt: int = 8,
+    point_id: str = "point_id",
+    how: str = "inner",
+) -> DataFrame:
+    """points(point_id, lat, lon) ⋈ polygons(polygon_id, geojson) on containment.
+
+    how: 'inner' -> (point_id, lat, lon, polygon_id) matches;
+         'left_semi' -> served points; 'left_anti' -> serviceability-gap points.
+    """
+    pts = points.select(
+        F.col(point_id).alias("point_id"), "lat", "lon"
+    )
+    norm = normalize_polygons(polygons)
+    cover = polygon_cover(norm, zoom=zoom, compact=compact)
+
+    if compact:
+        # distinct zooms present in the compacted cover (small driver-side list)
+        zooms = sorted(
+            r["cell_zoom"] for r in cover.select("cell_zoom").distinct().collect()
+        )
+    else:
+        zooms = [zoom]
+
+    fine = pts.withColumn("_cell_fine", cell_expr(F.col("lat"), F.col("lon"), zoom))
+    candidates = None
+    for z in zooms:
+        probe = fine.withColumn(
+            "_cell", cell_parent_expr(F.col("_cell_fine"), z, zoom)
+        )
+        cov_z = cover.filter(F.col("cell_zoom") == z)
+        cand_z = probe.join(
+            F.broadcast(cov_z.select("polygon_id", "ring_json", F.col("cell").alias("_cell"))),
+            "_cell",
+            "inner",
+        )
+        candidates = cand_z if candidates is None else candidates.unionByName(cand_z)
+
+    candidates = candidates.select("point_id", "lat", "lon", "polygon_id", "ring_json")
+
+    # refine with salted repartition on (polygon_id, salt) — hot-cell skew killer
+    if salt > 1:
+        salted = candidates.withColumn(
+            "_salt", F.pmod(F.xxhash64("point_id"), F.lit(salt))
+        )
+        refined = (
+            salted.groupBy("polygon_id", "_salt")
+            .applyInPandas(
+                lambda key, pdf: _refine_groups(pdf), PIP_RESULT_SCHEMA
+            )
+        )
+    else:
+        refined = candidates.groupBy("polygon_id").applyInPandas(
+            lambda key, pdf: _refine_groups(pdf), PIP_RESULT_SCHEMA
+        )
+
+    if how == "inner":
+        return refined
+    if how == "left_semi":
+        return pts.join(refined.select("point_id").distinct(), "point_id", "left_semi")
+    if how == "left_anti":
+        return pts.join(refined.select("point_id").distinct(), "point_id", "left_anti")
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def cell_heat_stats(points: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM) -> DataFrame:
+    """Engine metric: per-cell point density (groupBy count — partial agg map-side)."""
+    return (
+        points.withColumn("cell", cell_expr(F.col("lat"), F.col("lon"), zoom))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -1,0 +1,106 @@
+"""Flagship spatial join vs brute-force numpy PIP oracle."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_utility_spark import fixtures as FX
+from geojson_utility_spark.functions import geometry as G
+from geojson_utility_spark.functions import pip as P
+from geojson_utility_spark.operators import spatial_join as SJ
+
+
+@pytest.fixture(scope="module")
+def data():
+    pts = FX.image_point([f"img_{i:012d}" for i in range(3000)])
+    polys = FX.make_polygons(40)
+    return pts, polys
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(data):
+    pts, polys = data
+    want = set()
+    valid_polys = 0
+    for _, prow in polys.iterrows():
+        norm, err = G.normalize_polygon_geojson(prow["geojson"])
+        if err:
+            continue
+        valid_polys += 1
+        ring = np.asarray(G.extract_outer_ring(norm), dtype=np.float64)
+        inside = P.points_in_polygon(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(), [ring]
+        )
+        for pid in pts.loc[inside, "image_id"]:
+            want.add((pid, prow["polygon_id"]))
+    assert valid_polys >= 35
+    assert len(want) > 100, "fixture should produce plenty of matches"
+    return want
+
+
+@pytest.mark.parametrize("compact,salt", [(False, 1), (False, 8), (True, 8)])
+def test_spatial_join_matches_oracle(spark, data, oracle_pairs, compact, salt):
+    pts, polys = data
+    pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
+    polys_df = spark.createDataFrame(polys[["polygon_id", "geojson"]])
+    got_df = SJ.spatial_join(
+        pts_df, polys_df, compact=compact, salt=salt
+    )
+    got = {(r["point_id"], r["polygon_id"]) for r in got_df.collect()}
+    assert got == oracle_pairs
+
+
+def test_semi_anti(spark, data, oracle_pairs):
+    pts, polys = data
+    pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
+    polys_df = spark.createDataFrame(polys[["polygon_id", "geojson"]])
+    served = {p for p, _ in oracle_pairs}
+    semi = SJ.spatial_join(pts_df, polys_df, how="left_semi")
+    anti = SJ.spatial_join(pts_df, polys_df, how="left_anti")
+    semi_ids = {r["point_id"] for r in semi.collect()}
+    anti_ids = {r["point_id"] for r in anti.collect()}
+    assert semi_ids == served
+    assert anti_ids == set(pts["image_id"]) - served
+    assert semi.count() + anti.count() == len(pts)
+
+
+def test_normalize_polygons_flags_bowtie(spark, data):
+    _, polys = data
+    norm = SJ.normalize_polygons(spark.createDataFrame(polys[["polygon_id", "geojson"]]))
+    bad = norm.filter(F.col("poly_errors") != "").toPandas()
+    assert "poly_000013" in set(bad["polygon_id"])  # the fixture bow-tie
+    assert any("self-intersecting" in e for e in bad["poly_errors"])
+
+
+def test_cover_is_superset_of_point_cells(spark, data):
+    """Candidate-stage no-false-negative property on the real fixture polygons."""
+    from geojson_utility_spark.functions import cells as C
+
+    pts, polys = data
+    for _, prow in polys.iloc[:10].iterrows():
+        norm, err = G.normalize_polygon_geojson(prow["geojson"])
+        if err:
+            continue
+        ring = np.asarray(G.extract_outer_ring(norm))
+        inside = P.points_in_polygon(pts["lon"].to_numpy(), pts["lat"].to_numpy(), [ring])
+        if not inside.any():
+            continue
+        cover = set(C.polygon_to_cells(ring, SJ.DEFAULT_JOIN_ZOOM).tolist())
+        pt_cells = C.latlng_to_cell(
+            pts.loc[inside, "lat"].to_numpy(),
+            pts.loc[inside, "lon"].to_numpy(),
+            SJ.DEFAULT_JOIN_ZOOM,
+        )
+        assert set(pt_cells.tolist()) <= cover
+
+
+def test_cell_heat_stats(spark, data):
+    pts, _ = data
+    pts_df = spark.createDataFrame(pts)
+    heat = SJ.cell_heat_stats(pts_df).orderBy(F.desc("n_points")).toPandas()
+    assert heat["n_points"].sum() == len(pts)
+    # skew present: hottest cell should hold many points (Delhi blob)
+    assert heat["n_points"].iloc[0] > len(pts) * 0.01
