@@ -1,0 +1,189 @@
+"""kNN join via grid-ring expansion — points -> k nearest targets (polygon centroids).
+
+Distributed grid kNN (SURVEY.md §2.3 W4): the SMALL side (targets) is replicated to
+every cell within Chebyshev radius R of its own cell and broadcast; the HUGE side
+(points) joins once on its own cell id — a single broadcast equi-join, no expansion and
+no shuffle of the point table.  Points whose k-th candidate is provably the true k-th
+(distance bound below) resolve; the rest — a geometrically shrinking minority living in
+sparse regions — escalate to 4R.  Driver loop runs O(log max_R) rounds.
+
+Exactness bound: tiles are unit squares in projected (Web-Mercator tile-unit) space.
+A target NOT replicated to the point's cell sits at Chebyshev cell-distance > R, hence
+at projected distance > (R - 1) tile units from any point in that cell (the point may
+sit on its cell edge: > R-1, not R).  So when a point's k-th nearest candidate lies
+within projected distance (R - 1) * SAFETY, every true top-k member is already in the
+candidate set.  SAFETY (default 0.95) absorbs the second-order latitude variation of
+the Mercator scale factor across the ring span, since final ranking uses true haversine
+distance while the completeness bound is projected.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geojson_utility_spark.functions.spark_geo import cell_expr, tile_xy_expr
+
+DEFAULT_KNN_ZOOM = 11  # ~20 km tiles; targets-per-cell stays small
+SAFETY = 0.95
+
+
+def haversine_expr(lat1, lon1, lat2, lon2):
+    """Great-circle km as a pure Catalyst expression (parity: functions/pip.haversine_km)."""
+    rlat1, rlon1, rlat2, rlon2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * 6371.0088) * F.asin(F.sqrt(a))
+
+
+def _replicated_index(targets: DataFrame, zoom: int, radius: int) -> DataFrame:
+    """Each target copied into every cell within Chebyshev ``radius`` of its own."""
+    spark = targets.sparkSession
+    offs = [
+        (dx, dy)
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ]
+    offsets = F.broadcast(spark.createDataFrame(pd.DataFrame(offs, columns=["dx", "dy"])))
+    n = F.lit(1 << zoom).cast("long")
+    tx, ty = tile_xy_expr(F.col("t_lat"), F.col("t_lon"), zoom)
+    rep = (
+        targets.withColumn("_tx", tx)
+        .withColumn("_ty", ty)
+        .crossJoin(offsets)
+        .withColumn("_ry", F.col("_ty") + F.col("dy"))
+        .filter((F.col("_ry") >= 0) & (F.col("_ry") < n))
+        .withColumn(
+            "cell",
+            F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+            + F.pmod(F.col("_tx") + F.col("dx"), n) * F.lit(1 << 29).cast("long")
+            + F.col("_ry"),
+        )
+        .select("cell", "target_id", "t_lat", "t_lon")
+    )
+    return rep
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    zoom: int = DEFAULT_KNN_ZOOM,
+    initial_radius: int = 2,
+    max_radius: int = 128,
+    point_id: str = "point_id",
+    target_id: str = "target_id",
+) -> DataFrame:
+    """points(point_id, lat, lon) x targets(target_id, lat, lon)
+    -> (point_id, target_id, dist_km, knn_rank), knn_rank in 1..k by haversine.
+
+    Points with no reachable target within max_radius resolve with whatever
+    candidates exist (possibly fewer than k rows).
+    """
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), zoom))
+    tgt = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+    )
+
+    dist = haversine_expr(F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon"))
+    # projected (tile-unit) distance for the completeness bound
+    px_f, py_f = _tile_frac_exprs("p_lat", "p_lon", zoom)
+    tx_f, ty_f = _tile_frac_exprs("t_lat", "t_lon", zoom)
+    proj_dist = F.sqrt((px_f - tx_f) * (px_f - tx_f) + (py_f - ty_f) * (py_f - ty_f))
+
+    unresolved = pts
+    resolved_parts: list[DataFrame] = []
+    radius = initial_radius
+    while True:
+        index = _replicated_index(tgt, zoom, radius)
+        cand = unresolved.join(F.broadcast(index), "cell", "inner")
+        w = Window.partitionBy("point_id").orderBy(dist.asc(), F.col("target_id").asc())
+        ranked = (
+            cand.withColumn("dist_km", dist)
+            .withColumn("_proj", proj_dist)
+            .withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+        )
+        if radius >= max_radius:
+            resolved_parts.append(
+                ranked.select("point_id", "target_id", "dist_km", "knn_rank")
+            )
+            break
+        bound = float((radius - 1) * SAFETY) if radius > 1 else 0.0
+        # a point is done when it has k candidates and its k-th is inside the bound
+        kth = ranked.groupBy("point_id").agg(
+            F.count("*").alias("_n"), F.max("_proj").alias("_kth_proj")
+        )
+        done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth_proj") <= F.lit(bound)))
+        resolved_parts.append(
+            ranked.join(done_ids.select("point_id"), "point_id", "left_semi").select(
+                "point_id", "target_id", "dist_km", "knn_rank"
+            )
+        )
+        unresolved = unresolved.join(done_ids.select("point_id"), "point_id", "left_anti")
+        if unresolved.limit(1).count() == 0:
+            break
+        radius = min(radius * 4, max_radius)
+
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _tile_frac_exprs(lat_col: str, lon_col: str, zoom: int):
+    """Fractional (unfloored) tile coordinates — projected position in tile units."""
+    import math
+
+    from geojson_utility_spark.functions.cells import MAX_LAT
+
+    n = F.lit(float(1 << zoom))
+    lat_c = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), F.col(lat_col)))
+    xf = (F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * n
+    lat_rad = F.radians(lat_c)
+    yf = (
+        (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * n
+    )
+    return xf, yf
+
+
+def knn_brute_force(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    point_id: str = "point_id",
+    target_id: str = "target_id",
+) -> DataFrame:
+    """Cross-join baseline (oracle for tests / small target sets): exact, O(N*M)."""
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    )
+    tgt = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.col("lat").alias("t_lat"),
+        F.col("lon").alias("t_lon"),
+    )
+    dist = haversine_expr(F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon"))
+    w = Window.partitionBy("point_id").orderBy(dist.asc(), F.col("target_id").asc())
+    return (
+        pts.crossJoin(F.broadcast(tgt))
+        .withColumn("dist_km", dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("point_id", "target_id", "dist_km", "knn_rank")
+    )

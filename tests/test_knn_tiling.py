@@ -1,0 +1,103 @@
+"""kNN grid join vs brute-force oracle; raster tiling vs PIP oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_utility_spark import fixtures as FX
+from geojson_utility_spark.operators import knn as K
+from geojson_utility_spark.operators import spatial_join as SJ
+from geojson_utility_spark.operators import tiling as TL
+
+
+@pytest.fixture(scope="module")
+def knn_data(spark):
+    pts = FX.image_point([f"img_{i:012d}" for i in range(800)])
+    polys = FX.make_polygons(40)
+    pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
+    tgt_df = spark.createDataFrame(
+        polys[["polygon_id", "centroid_lat", "centroid_lon"]].rename(
+            columns={"polygon_id": "target_id", "centroid_lat": "lat", "centroid_lon": "lon"}
+        )
+    )
+    return pts_df, tgt_df
+
+
+def test_knn_matches_brute_force(spark, knn_data):
+    pts_df, tgt_df = knn_data
+    k = 3
+    got = K.knn_join(pts_df, tgt_df, k=k).toPandas()
+    want = K.knn_brute_force(pts_df, tgt_df, k=k).toPandas()
+    got_m = {(r.point_id, r.knn_rank): r.target_id for r in got.itertuples()}
+    want_m = {(r.point_id, r.knn_rank): r.target_id for r in want.itertuples()}
+    assert len(got_m) == len(want_m)
+    diffs = {k_ for k_ in want_m if got_m.get(k_) != want_m[k_]}
+    assert not diffs, f"{len(diffs)} rank mismatches, e.g. {sorted(diffs)[:5]}"
+
+
+def test_knn_k1_and_large_k(spark, knn_data):
+    pts_df, tgt_df = knn_data
+    pts_small = pts_df.limit(100)
+    for k in (1, 10):
+        got = K.knn_join(pts_small, tgt_df, k=k).toPandas()
+        want = K.knn_brute_force(pts_small, tgt_df, k=k).toPandas()
+        m_g = {(r.point_id, r.knn_rank): r.target_id for r in got.itertuples()}
+        m_w = {(r.point_id, r.knn_rank): r.target_id for r in want.itertuples()}
+        assert m_g == m_w
+
+
+def test_assign_tiles_and_quadkey(spark):
+    pts = FX.image_point([f"img_{i:012d}" for i in range(200)])
+    df = TL.assign_tiles(spark.createDataFrame(pts), zoom=13)
+    out = df.withColumn("qk", TL.quadkey_udf(F.col("tile_cell"))).toPandas()
+    from geojson_utility_spark.functions import cells as C
+
+    want_cells = C.latlng_to_cell(pts["lat"].to_numpy(), pts["lon"].to_numpy(), 13)
+    np.testing.assert_array_equal(out["tile_cell"].to_numpy(), want_cells)
+    assert (out["qk"].str.len() == 13).all()
+    np.testing.assert_array_equal(
+        C.quadkey_to_cell(out["qk"].tolist()), want_cells
+    )
+
+
+def test_rasterize_masks_match_pip(spark):
+    import json
+
+    from geojson_utility_spark.functions import geometry as G
+    from geojson_utility_spark.functions import pip as P
+    from geojson_utility_spark.functions import cells as C
+
+    polys = FX.make_polygons(8)
+    norm = SJ.normalize_polygons(spark.createDataFrame(polys[["polygon_id", "geojson"]]))
+    masks = TL.rasterize_polygons(norm, zoom=12, mask_size=16).toPandas()
+    assert len(masks) > 0
+    checked = 0
+    for r in masks.itertuples():
+        if checked >= 5:
+            break
+        ring = np.asarray(
+            json.loads(
+                norm.filter(F.col("polygon_id") == r.polygon_id)
+                .select("ring_json").collect()[0][0]
+            )
+        )
+        grid = TL.unpack_mask(r.mask, r.mask_size)
+        w, s, e, n = (float(v) for v in C.cell_bounds(np.int64(r.tile_cell)))
+        ii = (np.arange(r.mask_size) + 0.5) / r.mask_size
+        glon, glat = np.meshgrid(w + ii * (e - w), n + ii * (s - n))
+        want = P.points_in_polygon(glon.ravel(), glat.ravel(), [ring]).reshape(
+            r.mask_size, r.mask_size
+        )
+        np.testing.assert_array_equal(grid, want)
+        assert abs(r.coverage - want.mean()) < 1e-12
+        checked += 1
+    assert checked == 5
+    # every covering tile of each polygon appears
+    pid0 = masks["polygon_id"].iloc[0]
+    ring0 = np.asarray(
+        json.loads(norm.filter(F.col("polygon_id") == pid0).select("ring_json").collect()[0][0])
+    )
+    want_tiles = set(C.polygon_to_cells(ring0, 12).tolist())
+    got_tiles = set(masks[masks["polygon_id"] == pid0]["tile_cell"])
+    assert got_tiles == want_tiles
