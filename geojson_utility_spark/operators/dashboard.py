@@ -1,0 +1,104 @@
+"""Dashboard/analytics aggregates over the lineage table (reference §3.3).
+
+Reproduces GET /user-dashboard/stats (reference: backend/routers/user_dashboard.py:
+40-71): total count, clamped pagination window, top-1 last-downloaded, 7-day count,
+coalesce-sum of downloads — all served from ONE cached DataFrame pass.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_file_count(lineage: DataFrame, user_id: int) -> DataFrame:
+    return lineage.filter(F.col("user_id") == user_id).agg(
+        F.count("*").alias("total_files")
+    )
+
+
+def last_downloaded(lineage: DataFrame, user_id: int) -> DataFrame:
+    """Top-1 by last_downloaded_at (W1) — row_number window, deterministic tiebreak."""
+    w = Window.orderBy(F.col("last_downloaded_at").desc(), F.col("run_id").asc())
+    return (
+        lineage.filter(
+            (F.col("user_id") == user_id) & F.col("last_downloaded_at").isNotNull()
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("run_id", "filename", "last_downloaded_at")
+    )
+
+
+def recent_uploads_page(
+    lineage: DataFrame, user_id: int, page: int, per_page: int = 10
+) -> DataFrame:
+    """W2 pagination: ORDER BY created_at DESC OFFSET/LIMIT with page clamped to
+    total_pages (user_dashboard.py:44-47)."""
+    base = lineage.filter(F.col("user_id") == user_id)
+    total = base.count()
+    total_pages = max(1, -(-total // per_page))
+    page = min(max(1, page), total_pages)
+    offset = (page - 1) * per_page
+    w = Window.orderBy(F.col("created_at").desc(), F.col("run_id").asc())
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + per_page))
+        .select("run_id", "filename", "status", "created_at", "rn")
+    )
+
+
+def seven_day_count(
+    lineage: DataFrame, user_id: int, now: dt.datetime
+) -> DataFrame:
+    """A5: uploads in the trailing 7 days (fixed anchor, no wall clock)."""
+    cutoff = now - dt.timedelta(days=7)
+    return lineage.filter(
+        (F.col("user_id") == user_id) & (F.col("created_at") >= F.lit(cutoff))
+    ).agg(F.count("*").alias("uploads_7d"))
+
+
+def total_downloads(lineage: DataFrame, user_id: int) -> DataFrame:
+    """A6: coalesce(sum(download_count), 0)."""
+    return lineage.filter(F.col("user_id") == user_id).agg(
+        F.coalesce(F.sum("download_count"), F.lit(0)).alias("total_downloads")
+    )
+
+
+def dashboard_stats(lineage: DataFrame, user_id: int, now: dt.datetime) -> dict:
+    """The full §3.3 response from one cached DF."""
+    base = lineage.filter(F.col("user_id") == user_id).cache()
+    try:
+        agg = base.agg(
+            F.count("*").alias("total_files"),
+            F.coalesce(F.sum("download_count"), F.lit(0)).alias("total_downloads"),
+            F.sum(
+                (F.col("created_at") >= F.lit(now - dt.timedelta(days=7))).cast("int")
+            ).alias("uploads_7d"),
+        ).collect()[0]
+        last = (
+            base.filter(F.col("last_downloaded_at").isNotNull())
+            .orderBy(F.col("last_downloaded_at").desc(), F.col("run_id").asc())
+            .limit(1)
+            .collect()
+        )
+        return {
+            "total_files": agg["total_files"],
+            "total_downloads": int(agg["total_downloads"]),
+            "uploads_7d": int(agg["uploads_7d"] or 0),
+            "last_downloaded_run_id": last[0]["run_id"] if last else None,
+        }
+    finally:
+        base.unpersist()
+
+
+def status_percentages(lineage: DataFrame) -> DataFrame:
+    """A8: per-status share, round(100*n/total, 1) guarded total>0."""
+    counts = lineage.groupBy("status").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn(
+        "pct",
+        F.when(total > 0, F.round(F.col("n") * 100.0 / total, 1)).otherwise(None),
+    )

@@ -1,0 +1,259 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All set-oriented, shuffle-minimal designs:
+- exact:      hash-groupBy on content (map-side partial agg; one shuffle on the hash)
+- minhash+LSH: shingles -> minhash signature -> banded bucket join (near-dup pairs
+               found with an equi-join on (band, bucket-hash) — no O(N^2) compare)
+- simhash:    64-bit weighted-feature hash; near-dups = small hamming distance within
+              LSH buckets on bit-chunks
+- ngram-jaccard: exact Jaccard on character n-gram sets for candidate pairs
+- phash near-dup: hamming distance on the images table's perceptual hash, bucketed by
+              16-bit chunks (any pair within distance d shares a chunk when d < chunks)
+
+Every operator keeps the big table distributed; only per-row feature computation runs
+in (vectorized) expressions or Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content value (deterministic winner).
+
+    One shuffle, partial-agg friendly: semantically
+    ``row_number() OVER (PARTITION BY content ORDER BY id) = 1`` but implemented as
+    min-id groupBy + semi join so the heavy content column shuffles once as a key.
+    """
+    winners = df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+    # dropDuplicates on id: a semi join keeps BOTH physical copies of an identical row
+    return df.join(winners, [content_col, id_col], "left_semi").dropDuplicates([id_col])
+
+
+def exact_dup_groups(df: DataFrame, content_col: str) -> DataFrame:
+    """(content, n_copies) for duplicated content — the P4/P5 duplicate-report shape."""
+    return (
+        df.groupBy(content_col)
+        .agg(F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(col, n: int = 3):
+    """Character n-gram array of the normalized text (lowercased, squeezed spaces)."""
+    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: F.substring(norm, i, F.lit(n)),
+        )
+    )
+
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("shingles")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — minhash over character shingles.
+
+    Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no UDF.  min() per
+    seed via aggregate over the shingle array (no explode — zero shuffle for the
+    signature computation).
+    """
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
+def minhash_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 8
+) -> DataFrame:
+    """LSH banding: split each signature into bands, bucket-join on (band, band-hash).
+
+    Returns distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b).  The only shuffle
+    is the equi-join on the banded bucket key — never an all-pairs compare.
+    """
+    n_hashes_col = F.size(F.col("sig"))
+    rows_per_band = (n_hashes_col / n_bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs."""
+    sh = shingle_df(df, text_col, id_col, shingle_n)
+    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
+    Jaccard verify -> pairs over threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = minhash_candidate_pairs(sigs, n_bands)
+    return jaccard_pairs(df, text_col, id_col, cands, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, simhash bigint): weighted-bit majority over token xxhash64 features.
+
+    Physical shape: explode tokens -> xxhash64 (JVM) -> ONE groupBy(doc_id) carrying 64
+    vectorized sum aggregates (per-bit +1/-1 votes, map-side partial agg) -> sign
+    bitmap assembled with bitwise ORs.  Single shuffle on doc_id; no Python anywhere.
+    """
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    hashed = exploded.withColumn("th", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("th"), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{bit}")
+        for bit in range(64)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for bit in range(64):
+        bitval = (
+            F.lit(-(1 << 63)).cast("long") if bit == 63 else F.lit(1 << bit).cast("long")
+        )
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{bit}") > 0, bitval).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def hamming_expr(a, b):
+    """bit_count(a XOR b) — Spark's bit_count is JVM-side."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 6
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming <= max_distance, bucketed on 16-bit chunks.
+
+    Pigeonhole: distance <= 3 guarantees a shared chunk with 4 chunks; for larger
+    max_distance this is a high-recall heuristic (documented), still never all-pairs.
+    """
+    sims = simhash64(df, text_col, id_col)
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def phash_near_dups(images: DataFrame, max_distance: int = 8) -> DataFrame:
+    """Image near-dups on the input table's phash column (16-bit chunk LSH buckets)."""
+    chunks = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("image_a"),
+            F.col("b.image_id").alias("image_b"),
+            hamming_expr(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

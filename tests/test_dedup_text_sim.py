@@ -1,0 +1,174 @@
+"""Dedup / text / similarity operators vs numpy-pandas oracles on testdata documents."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_utility_spark.operators import dedup as D
+from geojson_utility_spark.operators import similarity as S
+from geojson_utility_spark.operators import textops as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+def _py_shingles(text, n=3):
+    import re
+
+    norm = re.sub(r"\s+", " ", text.lower())
+    if len(norm) < n:
+        return {norm[:n]}
+    return {norm[i : i + n] for i in range(len(norm) - n + 1)}
+
+
+def test_dedup_exact(spark, docs, docs_pd):
+    dup = docs.union(docs.limit(20))  # inject exact dups
+    kept = D.dedup_exact(dup, "text", "doc_id")
+    # winners: min doc_id per distinct text
+    want = docs_pd.groupby("text")["doc_id"].min().sort_values()
+    got = kept.select("doc_id").toPandas()["doc_id"].sort_values()
+    np.testing.assert_array_equal(got.to_numpy(), want.to_numpy())
+    groups = D.exact_dup_groups(dup, "text").toPandas()
+    assert (groups["n_copies"] == 2).all()
+    assert len(groups) == 20 or len(groups) == len(set(docs_pd["text"].iloc[:20]))
+
+
+def test_minhash_near_dups_finds_planted_pair(spark, docs):
+    # plant a near-duplicate of doc 0
+    row = docs.filter(F.col("doc_id") == docs.select(F.min("doc_id")).first()[0]).first()
+    near = row["text"] + " extra tail words"
+    plus = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [(999999, near, row["lang"], row["source"], len(near))],
+            docs.columns,
+        )
+    )
+    pairs = D.minhash_near_dups(plus, "text", "doc_id", threshold=0.6).toPandas()
+    assert ((pairs["doc_a"] == row["doc_id"]) & (pairs["doc_b"] == 999999)).any()
+    # verified jaccard really is over threshold
+    j = pairs.loc[(pairs["doc_b"] == 999999), "jaccard"].iloc[0]
+    a, b = _py_shingles(row["text"]), _py_shingles(near)
+    want_j = len(a & b) / len(a | b)
+    assert abs(j - want_j) < 1e-9
+
+
+def test_jaccard_matches_python_oracle(spark, docs, docs_pd):
+    ids = sorted(docs_pd["doc_id"].iloc[:6])
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    pairs_df = spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    got = D.jaccard_pairs(docs, "text", "doc_id", pairs_df).toPandas()
+    texts = docs_pd.set_index("doc_id")["text"]
+    for r in got.itertuples():
+        a, b = _py_shingles(texts[r.doc_a]), _py_shingles(texts[r.doc_b])
+        assert abs(r.jaccard - len(a & b) / len(a | b)) < 1e-9
+
+
+def test_simhash_properties(spark, docs):
+    sims = D.simhash64(docs.limit(50), "text", "doc_id").toPandas()
+    assert sims["simhash"].nunique() > 40  # distinct docs -> distinct-ish hashes
+    # identical text -> identical simhash; near text -> small hamming
+    first = docs.first()
+    two = spark.createDataFrame(
+        [(1, first["text"]), (2, first["text"] + " tail")], ["doc_id", "text"]
+    )
+    hs = D.simhash64(two, "text", "doc_id").toPandas().set_index("doc_id")["simhash"]
+    d = bin(int(hs[1]) ^ int(hs[2])).count("1")
+    assert d <= 10
+
+
+def test_simhash_near_dups_planted(spark, docs):
+    first = docs.first()
+    plus = docs.unionByName(
+        docs.sparkSession.createDataFrame(
+            [(888888, first["text"] + " x", first["lang"], first["source"], 1)],
+            docs.columns,
+        )
+    )
+    pairs = D.simhash_near_dups(plus, "text", "doc_id", max_distance=10).toPandas()
+    assert ((pairs["doc_b"] == 888888) | (pairs["doc_a"] == 888888)).any()
+
+
+def test_token_counts(spark, docs, docs_pd):
+    got = docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("ws"),
+        TX.token_count_bpe(F.col("text")).alias("bpe"),
+    ).toPandas().set_index("doc_id")
+    import re
+
+    for doc_id, text in docs_pd.set_index("doc_id")["text"].items():
+        assert got.loc[doc_id, "ws"] == len(text.split())
+        assert got.loc[doc_id, "bpe"] == len(
+            re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text)
+        )
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog went to the house that was in the garden"),
+        (2, "der Hund und die Katze sind nicht mit der Maus für das Haus"),
+        (3, "le chat et les chiens est pour dans la maison que une porte"),
+        (4, "xyzzy plugh 12345 9999"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).toPandas()
+    assert out.set_index("doc_id")["lang"].to_dict() == {1: "en", 2: "de", 3: "fr", 4: "und"}
+    q = TX.quality_features(df, "text").toPandas().set_index("doc_id")
+    assert q.loc[1, "quality_score"] > q.loc[4, "quality_score"]
+    assert q.loc[1, "stopword_ratio"] > 0.3
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).toPandas()
+    assert fp["fp"][0] == fp["fp"][1]
+    assert fp["fp"][0] != fp["fp"][2]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    emb_pd = embeddings.toPandas()
+    mat = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    queries = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.cosine_topk(embeddings, queries, k=4).toPandas()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in got["query_id"].unique():
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(zip(-cos, ids))  # desc cosine, asc id tiebreak
+        want_ids = [int(i) for _, i in order[:4]]
+        got_ids = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got_ids == want_ids
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    queries = embeddings.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = S.cosine_topk(embeddings, queries, k=3).toPandas()
+    approx = S.lsh_topk(embeddings, queries, k=3, n_bits=4, n_tables=8).toPandas()
+    # rank-1 self-match must always be found (identical vector, same bucket)
+    self_hits = approx[(approx["rank"] == 1)]
+    assert set(self_hits["query_id"]) == set(exact["query_id"])
+    for r in self_hits.itertuples():
+        assert r.vec_id == r.query_id
+    # overall recall against exact top-3 should be decent
+    e_pairs = set(zip(exact["query_id"], exact["vec_id"]))
+    a_pairs = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e_pairs & a_pairs) / len(e_pairs) >= 0.5
