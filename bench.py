@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the BASELINE.json one — spatial-join rows/sec (H3-style
+candidate join + exact PIP refine) — reported alongside per-query wall times.
+Run scripts/scaling_proof.py for the two-parallelism-level efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session():
+    from geojson_utility_spark.session import get_spark
+
+    return get_spark(app_name="bench", master=f"local[{CPUS}]",
+                     shuffle_partitions=int(CPUS))
+
+
+def bench_queries(spark):
+    """name -> (callable producing a DataFrame, action) — timed via count()."""
+    from pyspark.sql import functions as F
+
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.entry_queries import (
+        PTS_CUSTOMER,
+        SHARED_SQL,
+        register_views,
+    )
+    from geojson_utility_spark.operators.dedup import minhash_near_dups, simhash64
+    from geojson_utility_spark.operators.knn import knn_join
+    from geojson_utility_spark.operators.similarity import cosine_topk
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+    from geojson_utility_spark.operators.textops import lang_id, quality_features
+
+    register_views(spark, SF_DIR)
+    n_points = 400_000
+    ids = [f"img_{i:012d}" for i in range(n_points)]
+    pts_pdf = FX.image_point(ids)
+    polys_pdf = FX.make_polygons(120)[["polygon_id", "geojson"]]
+
+    def flagship():
+        pts = spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id")
+        polys = spark.createDataFrame(polys_pdf)
+        return spatial_join(pts, polys, compact=True, salt=8)
+
+    def knn():
+        pts = spark.createDataFrame(pts_pdf.iloc[:100_000]).withColumnRenamed(
+            "image_id", "point_id"
+        )
+        tgt = spark.createDataFrame(
+            FX.make_polygons(120)[["polygon_id", "centroid_lat", "centroid_lon"]].rename(
+                columns={"polygon_id": "target_id", "centroid_lat": "lat",
+                         "centroid_lon": "lon"}
+            )
+        )
+        return knn_join(pts, tgt, k=3)
+
+    def minhash():
+        return minhash_near_dups(spark.table("documents"), "text", "doc_id", 0.5)
+
+    def simhash():
+        return simhash64(spark.table("documents"), "text", "doc_id")
+
+    def quality():
+        return quality_features(spark.table("documents"), "text").select(
+            "doc_id", "quality_score", lang_id(F.col("text")).alias("lang_pred")
+        )
+
+    def ann():
+        emb = spark.table("embeddings")
+        q = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return cosine_topk(emb, q, k=10)
+
+    out = {
+        "flagship_spatial_join": flagship,
+        "q1_pricing_summary": lambda: spark.sql(SHARED_SQL["q1_pricing_summary"]),
+        "q3_shipping_priority": lambda: spark.sql(SHARED_SQL["q3_shipping_priority"]),
+        "q5_region_volume": lambda: spark.sql(SHARED_SQL["q5_region_volume"]),
+        "window_running_sum": lambda: spark.sql(SHARED_SQL["window_running_sum"]),
+        "knn_grid": knn,
+        "minhash_near_dups": minhash,
+        "simhash": simhash,
+        "text_quality_langid": quality,
+        "embedding_topk": ann,
+    }
+    return out, n_points
+
+
+def main():
+    spark = build_session()
+    qs, n_points = bench_queries(spark)
+    times: dict[str, float] = {}
+    join_rows = 0
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn()
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        if name == "flagship_spatial_join":
+            join_rows = n
+    total = round(sum(times.values()), 3)
+    flagship_rps = round(n_points / times["flagship_spatial_join"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "spatial_join_rows_per_sec": flagship_rps,
+                "flagship_input_points": n_points,
+                "flagship_matches": join_rows,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

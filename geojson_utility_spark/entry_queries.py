@@ -1,0 +1,621 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md §2).
+
+Each entry pairs a Spark implementation with an ANSI-SQL oracle DuckDB runs on the same
+parquet tables.  Parity rules learned the hard way (pinned by tests/test_entry.py):
+
+- float SUMS are order-dependent -> aggregate in DECIMAL (exact, order-free), cast the
+  final result to double.
+- DuckDB ``cast(double AS int)`` ROUNDS; Spark truncates -> always ``floor``/``trunc``
+  explicitly in oracle SQL.
+- DuckDB ``regexp_replace`` needs the 'g' flag; Spark's is global by default.
+- shared arithmetic (point derivation, haversine, mercator tiles) is written as the
+  IDENTICAL formula on both sides: same doubles in, same IEEE ops -> same doubles out.
+- compared columns prefer ints/strings/decimals; doubles only when computed by one
+  deterministic per-row expression (never an aggregation order).
+
+Queries whose Spark side uses non-SQL machinery (Arrow PIP refinement, xxhash64
+minhash/simhash, image codecs) either get an arithmetic oracle that encodes the same
+semantics (e.g. half-plane tests for a convex polygon) or no oracle (rows-only check).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# shared derivations (identical text on both engines)
+# ---------------------------------------------------------------------------
+
+# deterministic point cloud from customer keys (integer arithmetic -> exact doubles)
+PTS_CUSTOMER = (
+    "SELECT c_custkey AS point_id, "
+    "((c_custkey*9973)%14000)/100.0 - 70.0 AS lat, "
+    "((c_custkey*7919)%34000)/100.0 - 170.0 AS lon FROM customer"
+)
+PTS_EVENTS = (
+    "SELECT event_id AS point_id, "
+    "((event_id*9973)%14000)/100.0 - 70.0 AS lat, "
+    "((event_id*7919)%34000)/100.0 - 170.0 AS lon FROM events"
+)
+TGT_SUPPLIER = (
+    "SELECT s_suppkey AS target_id, "
+    "((s_suppkey*37)%140) - 70 + 0.5 AS lat, "
+    "((s_suppkey*73)%340) - 170 + 0.5 AS lon FROM supplier"
+)
+
+HAVERSINE = (
+    "2*6371.0088*asin(sqrt("
+    "sin(radians(t_lat-p_lat)/2)*sin(radians(t_lat-p_lat)/2)"
+    "+cos(radians(p_lat))*cos(radians(t_lat))"
+    "*sin(radians(t_lon-p_lon)/2)*sin(radians(t_lon-p_lon)/2)))"
+)
+
+# convex CCW quadrilateral for the PIP oracle (lon, lat)
+CONVEX_RING = [(0.0, 0.0), (40.0, 10.0), (50.0, 50.0), (-10.0, 40.0), (0.0, 0.0)]
+
+
+def _halfplane_sql() -> str:
+    conds = []
+    r = CONVEX_RING
+    for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
+        conds.append(
+            f"(({x2}-{x1})*(lat-{y1}) - ({y2}-{y1})*(lon-{x1})) >= 0"
+        )
+    return " AND ".join(conds)
+
+
+# ---------------------------------------------------------------------------
+# Group A/B — relational coverage (shared SQL text, Spark==DuckDB dialect subset)
+# ---------------------------------------------------------------------------
+
+SHARED_SQL: dict[str, str] = {
+    # A4/A9: groupBy-count (dashboard total-files analog)
+    "agg_count_per_user": (
+        "SELECT user_id, count(*) AS n_events FROM events "
+        "GROUP BY user_id"
+    ),
+    # A5: trailing-7-day count anchored at max(ts) — no wall clock
+    "agg_7day_window_count": (
+        "SELECT count(*) AS n FROM events WHERE ts >= "
+        "(SELECT max(ts) FROM events) - INTERVAL 7 DAY"
+    ),
+    # A6: coalesce(sum, 0) incl. empty-group behavior
+    "agg_coalesce_sum": (
+        "SELECT cast(coalesce(sum(cast(value AS decimal(18,6))), 0) AS double) "
+        "AS total_value FROM events WHERE event_type = 'purchase'"
+    ),
+    # A7: greatest(0, limit - used)
+    "agg_token_remaining": (
+        "SELECT user_id, greatest(0, 100 - count(*)) AS tokens_remaining "
+        "FROM events GROUP BY user_id"
+    ),
+    # A8: percentage with guarded denominator (integer output: floor(1000*n/total))
+    "agg_status_percentage": (
+        "SELECT event_type, n, cast(floor(n * 1000.0 / total) AS bigint) AS pct10 "
+        "FROM (SELECT event_type, count(*) AS n, "
+        "(SELECT count(*) FROM events) AS total FROM events GROUP BY event_type) t"
+    ),
+    # TPC-H Q1 shape: multi-agg groupBy (decimal-exact sums)
+    "q1_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty, "
+        "cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price, "
+        "cast(sum(cast(l_extendedprice AS decimal(18,2)) * "
+        "cast(1 - l_discount AS decimal(8,4))) AS double) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1997-09-01' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    # TPC-H Q3 shape: 3-way join + agg + deterministic top-10
+    "q3_shipping_priority": (
+        "SELECT o_orderkey, "
+        "cast(sum(cast(l_extendedprice AS decimal(18,2)) * "
+        "cast(1 - l_discount AS decimal(8,4))) AS double) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1997-03-15' "
+        "GROUP BY o_orderkey "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+    # TPC-H Q5 shape: 6-way join
+    "q5_region_volume": (
+        "SELECT n_name, "
+        "cast(sum(cast(l_extendedprice AS decimal(18,2)) * "
+        "cast(1 - l_discount AS decimal(8,4))) AS double) AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name"
+    ),
+    # W4/topk: row_number per group
+    "window_top3_per_brand": (
+        "SELECT p_brand, p_partkey, p_retailprice FROM ("
+        "SELECT p_brand, p_partkey, p_retailprice, "
+        "row_number() OVER (PARTITION BY p_brand "
+        "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) t WHERE rn <= 3"
+    ),
+    # W2: pagination page 3 (rows 21-30), clamp-free case
+    "window_pagination": (
+        "SELECT o_orderkey, rn FROM ("
+        "SELECT o_orderkey, row_number() OVER "
+        "(ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders) t "
+        "WHERE rn > 20 AND rn <= 30"
+    ),
+    # W1: top-1 by timestamp per customer
+    "window_last_order_per_customer": (
+        "SELECT o_custkey, o_orderkey AS last_orderkey FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn = 1"
+    ),
+    # W-running: cumulative sum window
+    "window_running_sum": (
+        "SELECT l_suppkey, l_orderkey, l_linenumber, "
+        "cast(sum(cast(l_quantity AS decimal(18,2))) OVER "
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty "
+        "FROM lineitem WHERE l_suppkey <= 3"
+    ),
+    # semi join
+    "join_semi_customers_with_orders": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    # anti join (serviceability-gap analog)
+    "join_anti_customers_without_orders": (
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    # P4/P5: duplicate-group detection
+    "dup_group_detection": (
+        "SELECT l_orderkey, l_partkey, count(*) AS n_copies FROM lineitem "
+        "GROUP BY l_orderkey, l_partkey HAVING count(*) > 1"
+    ),
+    # §2.6: union of annotated branches (errors-column shape), cardinality preserved
+    "union_annotated_branches": (
+        "SELECT l_orderkey, l_linenumber, 'high_discount' AS tag FROM lineitem "
+        "WHERE l_discount > 0.05 "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, '' AS tag FROM lineitem "
+        "WHERE NOT (l_discount > 0.05)"
+    ),
+    # A3: status-derivation CASE with precedence
+    "status_case_derivation": (
+        "SELECT CASE WHEN o_orderstatus = 'F' THEN 'done' "
+        "WHEN o_orderstatus = 'O' THEN 'processing' ELSE 'partial' END AS status, "
+        "count(*) AS n FROM orders GROUP BY 1"
+    ),
+    # P6: id-predicate validation (regex/length/empty) as error-string annotation
+    "validate_id_fields": (
+        "SELECT p_partkey, CASE "
+        "WHEN length(trim(p_name)) = 0 THEN 'p_name must be a non-empty string.' "
+        "WHEN length(trim(p_name)) > 255 THEN 'p_name must be at most 255 characters.' "
+        "WHEN NOT regexp_matches(trim(p_name), '^[\\w\\.\\-@/]+$') "
+        "THEN 'p_name contains invalid characters.' "
+        "ELSE '' END AS errors FROM part"
+    ),
+    # P10/P11: lenient numeric parse + precedence CASE + truncation
+    "drive_value_precedence": (
+        "SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN dist IS NOT NULL AND dist > 0 AND dist <= 100000 "
+        "THEN 'drive_distance' "
+        "WHEN time IS NOT NULL AND time > 0 AND time <= 10000 THEN 'drive_time' "
+        "END AS catchment_type, "
+        "CASE WHEN dist IS NOT NULL AND dist > 0 AND dist <= 100000 "
+        "THEN cast(floor(dist) AS int) "
+        "WHEN time IS NOT NULL AND time > 0 AND time <= 10000 "
+        "THEN cast(floor(time) AS int) END AS magnitude "
+        "FROM (SELECT l_orderkey, l_linenumber, "
+        "CASE WHEN l_quantity > 30 THEN l_quantity * 1000 END AS dist, "
+        "l_extendedprice / 10.0 AS time FROM lineitem) t"
+    ),
+    # scalar-function family: string/date/math/json (§2.7)
+    "scalar_functions": (
+        "SELECT o_orderkey, "
+        "upper(substring(o_orderpriority, 1, 1)) AS pri_initial, "
+        "length(o_orderpriority) AS pri_len, "
+        "cast(floor(o_totalprice / 1000) AS bigint) AS price_bucket, "
+        "greatest(0, cast(floor(o_totalprice) AS bigint) - 100000) AS over_100k "
+        "FROM orders"
+    ),
+    # text: exact-dup fingerprint winner (md5 of normalized text)
+    "dedup_fingerprint_winner": (
+        "SELECT fp, min(doc_id) AS keep_doc_id FROM "
+        "(SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'))) "
+        "AS fp FROM documents) t GROUP BY fp"
+    ),
+    # text: token counts (whitespace)
+    "token_count_ws": (
+        "SELECT doc_id, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "length(regexp_replace(trim(text), '\\s+', ' ', 'g')) - "
+        "length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1 "
+        "END AS n_tokens FROM documents"
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Group C/D/E — operator-backed queries (DataFrame API) with arithmetic oracles
+# ---------------------------------------------------------------------------
+
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ tile/cell assignment — pure Catalyst expression on derived points."""
+    from geojson_utility_spark.functions.spark_geo import cell_expr
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    return pts.select(
+        "point_id", cell_expr(F.col("lat"), F.col("lon"), 13).alias("cell")
+    )
+
+
+def oracle_tile_assignment() -> str:
+    from geojson_utility_spark.functions.spark_geo import cell_sql
+
+    return f"SELECT point_id, {cell_sql('lat', 'lon', 13)} AS cell FROM ({PTS_CUSTOMER}) t"
+
+
+def q_cell_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.functions.spark_geo import cell_expr
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_EVENTS)
+    return (
+        pts.select(cell_expr(F.col("lat"), F.col("lon"), 8).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def oracle_cell_heat() -> str:
+    from geojson_utility_spark.functions.spark_geo import cell_sql
+
+    return (
+        f"SELECT {cell_sql('lat', 'lon', 8)} AS cell, count(*) AS n_points "
+        f"FROM ({PTS_EVENTS}) t GROUP BY 1"
+    )
+
+
+def q_spatial_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship join against a convex polygon the oracle can express as
+    half-plane conjunctions — exercises covering + broadcast + Arrow PIP refine."""
+    import json
+
+    from geojson_utility_spark.functions import geometry as G
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    ring = [[x, y] for x, y in CONVEX_RING]
+    polys = spark.createDataFrame(
+        [("convex_1", json.dumps(G.wrap_polygon_feature_collection(ring)))],
+        ["polygon_id", "geojson"],
+    )
+    out = spatial_join(pts, polys, zoom=9, salt=4)
+    return out.select("point_id", "polygon_id")
+
+
+def oracle_spatial_join_convex() -> str:
+    return (
+        f"SELECT point_id, 'convex_1' AS polygon_id FROM ({PTS_CUSTOMER}) t "
+        f"WHERE {_halfplane_sql()}"
+    )
+
+
+def q_spatial_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serviceability-gap report: points matching NO polygon (left_anti)."""
+    import json
+
+    from geojson_utility_spark.functions import geometry as G
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    ring = [[x, y] for x, y in CONVEX_RING]
+    polys = spark.createDataFrame(
+        [("convex_1", json.dumps(G.wrap_polygon_feature_collection(ring)))],
+        ["polygon_id", "geojson"],
+    )
+    return spatial_join(pts, polys, zoom=9, how="left_anti").select("point_id")
+
+
+def oracle_spatial_anti_join() -> str:
+    return (
+        f"SELECT point_id FROM ({PTS_CUSTOMER}) t WHERE NOT ({_halfplane_sql()})"
+    )
+
+
+def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid kNN join (k-ring expansion) — oracle is the brute-force window."""
+    from geojson_utility_spark.operators.knn import knn_join
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    tgt = spark.sql(TGT_SUPPLIER)
+    return knn_join(pts, tgt, k=3).select("point_id", "target_id", "knn_rank")
+
+
+def oracle_knn_grid() -> str:
+    return (
+        "SELECT point_id, target_id, knn_rank FROM ("
+        "SELECT p.point_id, s.target_id, row_number() OVER ("
+        f"PARTITION BY p.point_id ORDER BY {HAVERSINE}, target_id) AS knn_rank "
+        f"FROM ({PTS_CUSTOMER}) p(point_id, p_lat, p_lon) "
+        f"CROSS JOIN ({TGT_SUPPLIER}) s(target_id, t_lat, t_lon)) t "
+        "WHERE knn_rank <= 3"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.textops import lang_id
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def oracle_lang_id() -> str:
+    from geojson_utility_spark.operators.textops import LANG_PROFILES
+
+    score_sqls = {}
+    for lang, words in LANG_PROFILES.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_sqls[lang] = (
+            "len(list_filter(str_split(trim(regexp_replace(lower(text), "
+            f"'\\s+', ' ', 'g')), ' '), x -> x IN ({in_list})))"
+        )
+    langs = list(LANG_PROFILES)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        # strict '>' vs every EARLIER profile, '>=' vs every LATER one (first-wins ties)
+        for other in langs[:i]:
+            conds.append(f"s_{lang} > s_{other}")
+        for other in langs[i + 1 :]:
+            conds.append(f"s_{lang} >= s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    inner = ", ".join(f"{sql} AS s_{lang}" for lang, sql in score_sqls.items())
+    return (
+        f"SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred "
+        f"FROM (SELECT doc_id, {inner} FROM documents) t"
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.textops import token_count_bpe
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", token_count_bpe(F.col("text")).alias("n_bpe")
+    )
+
+
+def oracle_token_count_bpe() -> str:
+    return (
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe FROM documents"
+    )
+
+
+def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring component with integer outputs (hash-stable)."""
+    from geojson_utility_spark.operators.textops import LANG_PROFILES, _stopword_hits, token_count_ws
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        _stopword_hits(F.col("text"), LANG_PROFILES["en"]).alias("n_stopwords"),
+        token_count_ws(F.col("text")).alias("n_tokens"),
+    )
+
+
+def oracle_stopword_ratio() -> str:
+    from geojson_utility_spark.operators.textops import LANG_PROFILES
+
+    in_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    toks = "str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    return (
+        f"SELECT doc_id, len(list_filter({toks}, x -> x IN ({in_list}))) AS n_stopwords, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens "
+        "FROM documents"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.dedup import dedup_exact
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id")
+
+
+def oracle_dedup_exact() -> str:
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.similarity import cosine_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+def oracle_embedding_cosine_topk() -> str:
+    # identical fold order: list_dot_product over float->double casts; ranking only
+    return (
+        "SELECT query_id, vec_id, rank FROM ("
+        "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        "list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC, "
+        "e.vec_id) AS rank "
+        "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t "
+        "WHERE rank <= 5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: Arrow geometry, xxhash64 LSH, image codecs)
+# ---------------------------------------------------------------------------
+
+def q_flagship_image_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json metric query: image-derived points vs ONDC-shaped polygons
+    (fixtures §2/§3) through the full candidate+refine pipeline."""
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+
+    register_views(spark, sf_dir)
+    n_orders = spark.table("orders").count()
+    ids = [f"img_{i:012d}" for i in range(min(n_orders * 4, 20000))]
+    pts = spark.createDataFrame(FX.image_point(ids)).withColumnRenamed(
+        "image_id", "point_id"
+    )
+    polys = spark.createDataFrame(FX.make_polygons(60)[["polygon_id", "geojson"]])
+    return spatial_join(pts, polys, compact=True, salt=8)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.dedup import minhash_near_dups
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.dedup import simhash64
+
+    register_views(spark, sf_dir)
+    return simhash64(spark.table("documents"), "text", "doc_id")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.similarity import lsh_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8)
+
+
+def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: decode binary image column in mapInPandas batches,
+    verify dims + PSNR + caption (input_hint per-row invariant)."""
+    from geojson_utility_spark.operators.images import decode_and_verify
+
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.schemas import IMAGES_SCHEMA
+
+    images = spark.createDataFrame(FX.make_images(200), schema=IMAGES_SCHEMA)
+    return decode_and_verify(images)
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.dedup import phash_near_dups
+    from geojson_utility_spark.schemas import IMAGES_SCHEMA
+
+    images = spark.createDataFrame(FX.make_images(300), schema=IMAGES_SCHEMA)
+    return phash_near_dups(images, max_distance=16)
+
+
+def q_rasterize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.spatial_join import normalize_polygons
+    from geojson_utility_spark.operators.tiling import rasterize_polygons
+
+    polys = spark.createDataFrame(FX.make_polygons(20)[["polygon_id", "geojson"]])
+    return rasterize_polygons(normalize_polygons(polys), zoom=12, mask_size=32).drop(
+        "mask"
+    )
+
+
+def q_enrich_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full bulk pipeline on fixture locations (golden semantics)."""
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.enrichment import enrich_locations
+
+    df = spark.createDataFrame(FX.make_locations(100).astype(object))
+    return enrich_locations(df).drop("row_idx", "lat", "lon")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(sql) for name, sql in SHARED_SQL.items()
+    }
+    out.update(
+        {
+            "tile_assignment": q_tile_assignment,
+            "cell_heat": q_cell_heat,
+            "spatial_join_convex": q_spatial_join_convex,
+            "spatial_anti_join": q_spatial_anti_join,
+            "knn_grid": q_knn_grid,
+            "lang_id": q_lang_id,
+            "token_count_bpe": q_token_count_bpe,
+            "stopword_ratio": q_stopword_ratio,
+            "dedup_exact": q_dedup_exact,
+            "embedding_cosine_topk": q_embedding_cosine_topk,
+            # rows-only (non-SQL-expressible)
+            "flagship_image_join": q_flagship_image_join,
+            "minhash_near_dups": q_minhash_near_dups,
+            "simhash": q_simhash,
+            "lsh_ann_topk": q_lsh_ann_topk,
+            "image_decode_verify": q_image_decode_verify,
+            "phash_near_dups": q_phash_near_dups,
+            "rasterize_masks": q_rasterize_masks,
+            "enrich_locations": q_enrich_locations,
+        }
+    )
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = dict(SHARED_SQL)
+    out.update(
+        {
+            "tile_assignment": oracle_tile_assignment(),
+            "cell_heat": oracle_cell_heat(),
+            "spatial_join_convex": oracle_spatial_join_convex(),
+            "spatial_anti_join": oracle_spatial_anti_join(),
+            "knn_grid": oracle_knn_grid(),
+            "lang_id": oracle_lang_id(),
+            "token_count_bpe": oracle_token_count_bpe(),
+            "stopword_ratio": oracle_stopword_ratio(),
+            "dedup_exact": oracle_dedup_exact(),
+            "embedding_cosine_topk": oracle_embedding_cosine_topk(),
+        }
+    )
+    return out

@@ -56,7 +56,8 @@ def lang_id(col: Column) -> Column:
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    for lang, score in reversed(scores):  # reversed so earlier profiles win ties
+    # forward order + strict '>' means the FIRST profile reaching the max wins ties
+    for lang, score in scores:
         cond = score > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)

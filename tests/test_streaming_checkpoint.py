@@ -1,0 +1,90 @@
+"""Streaming progress feed + checkpoint/resume tests."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_utility_spark.plans.checkpoint import StageCheckpointer
+from geojson_utility_spark.streaming import progress as PR
+
+
+def test_progress_stream_end_to_end(spark, tmp_path):
+    event_dir = str(tmp_path / "events")
+    em = PR.ProgressEmitter(event_dir)
+    em.emit(1, "pending", 0, 0, 10, emitted_at=1.0)
+    em.emit(1, "processing", 0, 0, 10, emitted_at=2.0)
+    em.emit(1, "processing", 5, 1, 10, emitted_at=3.0)  # same status -> deduped
+    em.emit(1, "done", 10, 1, 10, emitted_at=4.0)
+    q = PR.run_progress_query(spark, event_dir, sink_table="prog_test")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM prog_test").orderBy("seq").toPandas()
+    finally:
+        q.stop()
+    assert len(out) == 4
+    assert out["event_type"].tolist() == ["update", "start", "start", "complete"]
+    assert out["progress_pct"].iloc[2] == 50.0
+    trans = PR.transitions_only(
+        spark.createDataFrame(out[["run_id", "seq", "status"]])
+    ).toPandas()
+    assert trans["status"].tolist() == ["pending", "processing", "done"]
+
+
+def test_checkpoint_resume_skips_completed_stage(spark, tmp_path):
+    root = str(tmp_path / "ckpt")
+    ck = StageCheckpointer(spark, root, run_id=7)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    out1 = ck.run_stage("stage_a", build, fingerprint="fp1")
+    assert out1.count() == 100 and calls["n"] == 1
+    # resume: same fingerprint -> no rebuild
+    out2 = ck.run_stage("stage_a", build, fingerprint="fp1")
+    assert out2.count() == 100 and calls["n"] == 1
+    # changed inputs -> rebuild
+    ck.run_stage("stage_a", build, fingerprint="fp2")
+    assert calls["n"] == 2
+    # manifest committed with metadata
+    with open(os.path.join(root, "stage_a", "_MANIFEST.json")) as f:
+        m = json.load(f)
+    assert m["rows"] == 100 and m["committed"] and m["run_id"] == 7
+
+
+def test_partition_lineage_rows(spark, tmp_path):
+    ck = StageCheckpointer(spark, str(tmp_path / "ckpt2"), run_id=3)
+    df = spark.range(1000).repartition(4)
+    lin = ck.partition_lineage("enrich", df).toPandas()
+    assert lin["rows"].sum() == 1000
+    assert set(lin["stage"]) == {"enrich"}
+    assert len(lin) == 4
+
+
+def test_locations_csv_roundtrip(spark, tmp_path):
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.sources.locations_csv import (
+        read_locations_csv,
+        sample_csv_frame,
+        write_locations_csv,
+    )
+
+    pdf = FX.make_locations(10)
+    src = str(tmp_path / "in.csv")
+    pdf.to_csv(src, index=False)
+    df = read_locations_csv(spark, src)
+    assert df.columns[:6] == [
+        "snp_id", "provider_id", "location_id", "location_gps",
+        "drive_distance", "drive_time",
+    ]
+    assert df.count() == len(pdf)
+    out_dir = str(tmp_path / "out_csv")
+    write_locations_csv(df, out_dir)
+    back = read_locations_csv(spark, out_dir)
+    assert back.count() == len(pdf)
+    sample = sample_csv_frame(spark).toPandas()
+    assert sample.iloc[0]["location_gps"] == "28.5065162,77.073938"
