@@ -79,8 +79,9 @@ def _halfplane_sql() -> str:
     conds = []
     r = CONVEX_RING
     for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
+        # parenthesize vertices: a bare negative after '-' would form a '--' comment
         conds.append(
-            f"(({x2}-{x1})*(lat-{y1}) - ({y2}-{y1})*(lon-{x1})) >= 0"
+            f"((({x2})-({x1}))*(lat-({y1})) - (({y2})-({y1}))*(lon-({x1}))) >= 0"
         )
     return " AND ".join(conds)
 
@@ -208,15 +209,6 @@ SHARED_SQL: dict[str, str] = {
         "WHEN o_orderstatus = 'O' THEN 'processing' ELSE 'partial' END AS status, "
         "count(*) AS n FROM orders GROUP BY 1"
     ),
-    # P6: id-predicate validation (regex/length/empty) as error-string annotation
-    "validate_id_fields": (
-        "SELECT p_partkey, CASE "
-        "WHEN length(trim(p_name)) = 0 THEN 'p_name must be a non-empty string.' "
-        "WHEN length(trim(p_name)) > 255 THEN 'p_name must be at most 255 characters.' "
-        "WHEN NOT regexp_matches(trim(p_name), '^[\\w\\.\\-@/]+$') "
-        "THEN 'p_name contains invalid characters.' "
-        "ELSE '' END AS errors FROM part"
-    ),
     # P10/P11: lenient numeric parse + precedence CASE + truncation
     "drive_value_precedence": (
         "SELECT l_orderkey, l_linenumber, "
@@ -240,20 +232,6 @@ SHARED_SQL: dict[str, str] = {
         "cast(floor(o_totalprice / 1000) AS bigint) AS price_bucket, "
         "greatest(0, cast(floor(o_totalprice) AS bigint) - 100000) AS over_100k "
         "FROM orders"
-    ),
-    # text: exact-dup fingerprint winner (md5 of normalized text)
-    "dedup_fingerprint_winner": (
-        "SELECT fp, min(doc_id) AS keep_doc_id FROM "
-        "(SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^0-9a-z]+', ' ', 'g'))) "
-        "AS fp FROM documents) t GROUP BY fp"
-    ),
-    # text: token counts (whitespace)
-    "token_count_ws": (
-        "SELECT doc_id, "
-        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        "length(regexp_replace(trim(text), '\\s+', ' ', 'g')) - "
-        "length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) + 1 "
-        "END AS n_tokens FROM documents"
     ),
 }
 
@@ -350,13 +328,78 @@ def oracle_spatial_anti_join() -> str:
 
 
 def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid kNN join (k-ring expansion) — oracle is the brute-force window."""
+    """Grid kNN join (k-ring expansion + exact sparse fallback) — oracle is the
+    brute-force window.  zoom 7 tiles (~3 deg) suit the sparse derived target grid."""
     from geojson_utility_spark.operators.knn import knn_join
 
     register_views(spark, sf_dir)
     pts = spark.sql(PTS_CUSTOMER)
     tgt = spark.sql(TGT_SUPPLIER)
-    return knn_join(pts, tgt, k=3).select("point_id", "target_id", "knn_rank")
+    return knn_join(pts, tgt, k=3, zoom=7, max_radius=32).select(
+        "point_id", "target_id", "knn_rank"
+    )
+
+
+def q_validate_id_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 id predicates as error-string annotation (rlike vs regexp_matches)."""
+    register_views(spark, sf_dir)
+    v = F.trim(F.col("p_name"))
+    err = (
+        F.when(F.length(v) == 0, F.lit("p_name must be a non-empty string."))
+        .when(F.length(v) > 255, F.lit("p_name must be at most 255 characters."))
+        .when(~v.rlike(r"^[\w\.\-@/]+$"), F.lit("p_name contains invalid characters."))
+        .otherwise(F.lit(""))
+    )
+    return spark.table("part").select("p_partkey", err.alias("errors"))
+
+
+def oracle_validate_id_fields() -> str:
+    return (
+        "SELECT p_partkey, CASE "
+        "WHEN length(trim(p_name)) = 0 THEN 'p_name must be a non-empty string.' "
+        "WHEN length(trim(p_name)) > 255 THEN 'p_name must be at most 255 characters.' "
+        "WHEN NOT regexp_matches(trim(p_name), '^[\\w\\.\\-@/]+$') "
+        "THEN 'p_name contains invalid characters.' "
+        "ELSE '' END AS errors FROM part"
+    )
+
+
+def q_token_count_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.textops import token_count_ws
+
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+
+
+def oracle_token_count_ws() -> str:
+    return (
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) "
+        "END AS n_tokens FROM documents"
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.textops import fingerprint
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def oracle_dedup_fingerprint() -> str:
+    # fingerprint(): md5(trim(regexp_replace(lower(text), '[^\w]+', ' ', 'g')))
+    return (
+        "SELECT fp, min(doc_id) AS keep_doc_id FROM "
+        "(SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^0-9a-z_]+', ' ', 'g'))) "
+        "AS fp FROM documents) t GROUP BY fp"
+    )
 
 
 def oracle_knn_grid() -> str:
@@ -588,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio": q_stopword_ratio,
             "dedup_exact": q_dedup_exact,
             "embedding_cosine_topk": q_embedding_cosine_topk,
+            "validate_id_fields": q_validate_id_fields,
+            "token_count_ws": q_token_count_ws,
+            "dedup_fingerprint_winner": q_dedup_fingerprint,
             # rows-only (non-SQL-expressible)
             "flagship_image_join": q_flagship_image_join,
             "minhash_near_dups": q_minhash_near_dups,
@@ -616,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
             "stopword_ratio": oracle_stopword_ratio(),
             "dedup_exact": oracle_dedup_exact(),
             "embedding_cosine_topk": oracle_embedding_cosine_topk(),
+            "validate_id_fields": oracle_validate_id_fields(),
+            "token_count_ws": oracle_token_count_ws(),
+            "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
         }
     )
     return out

@@ -69,21 +69,32 @@ def _replicated_index(targets: DataFrame, zoom: int, radius: int) -> DataFrame:
     return rep
 
 
+EARTH_CIRC_KM = 40075.016686
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
     k: int = 3,
     zoom: int = DEFAULT_KNN_ZOOM,
     initial_radius: int = 2,
-    max_radius: int = 128,
+    max_radius: int = 32,
     point_id: str = "point_id",
     target_id: str = "target_id",
 ) -> DataFrame:
     """points(point_id, lat, lon) x targets(target_id, lat, lon)
-    -> (point_id, target_id, dist_km, knn_rank), knn_rank in 1..k by haversine.
+    -> (point_id, target_id, dist_km, knn_rank), knn_rank in 1..k by haversine. EXACT.
 
-    Points with no reachable target within max_radius resolve with whatever
-    candidates exist (possibly fewer than k rows).
+    Resolution bound (latitude-aware, in km): a target not replicated to the point's
+    cell lies > (R-1) tile units away in projected space; one tile unit is worth at
+    least ``(EARTH_CIRC/2^z) * cos(lat_reach)`` km anywhere within the probe region,
+    where ``lat_reach = |p_lat| + (R+1) * 360/2^z`` caps the highest latitude the
+    region can touch (mercator tiles shrink toward the poles, so the minimum km/unit
+    sits at the region's latitude extreme).  SAFETY absorbs projection-vs-great-circle
+    second-order effects.  Points still unresolved at ``max_radius`` — a geometrically
+    shrinking set living in target-sparse regions — are finished EXACTLY with a
+    brute-force join against the full (small) target table, so the result matches the
+    brute-force oracle for every point.
     """
     pts = points.select(
         F.col(point_id).alias("point_id"),
@@ -97,35 +108,35 @@ def knn_join(
     )
 
     dist = haversine_expr(F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon"))
-    # projected (tile-unit) distance for the completeness bound
-    px_f, py_f = _tile_frac_exprs("p_lat", "p_lon", zoom)
-    tx_f, ty_f = _tile_frac_exprs("t_lat", "t_lon", zoom)
-    proj_dist = F.sqrt((px_f - tx_f) * (px_f - tx_f) + (py_f - ty_f) * (py_f - ty_f))
+    w = Window.partitionBy("point_id").orderBy(dist.asc(), F.col("target_id").asc())
+    tile_deg = 360.0 / (1 << zoom)
+    km_per_unit_at = lambda lat_reach: (  # noqa: E731
+        F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
+    )
 
     unresolved = pts
     resolved_parts: list[DataFrame] = []
     radius = initial_radius
-    while True:
+    while radius <= max_radius:
         index = _replicated_index(tgt, zoom, radius)
         cand = unresolved.join(F.broadcast(index), "cell", "inner")
-        w = Window.partitionBy("point_id").orderBy(dist.asc(), F.col("target_id").asc())
         ranked = (
             cand.withColumn("dist_km", dist)
-            .withColumn("_proj", proj_dist)
             .withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
         )
-        if radius >= max_radius:
-            resolved_parts.append(
-                ranked.select("point_id", "target_id", "dist_km", "knn_rank")
-            )
-            break
-        bound = float((radius - 1) * SAFETY) if radius > 1 else 0.0
-        # a point is done when it has k candidates and its k-th is inside the bound
         kth = ranked.groupBy("point_id").agg(
-            F.count("*").alias("_n"), F.max("_proj").alias("_kth_proj")
+            F.count("*").alias("_n"),
+            F.max("dist_km").alias("_kth_km"),
+            F.first(F.abs(F.col("p_lat"))).alias("_abs_lat"),
         )
-        done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth_proj") <= F.lit(bound)))
+        lat_reach_kth = F.least(
+            F.lit(85.0), F.col("_abs_lat") + F.lit((radius + 1) * tile_deg)
+        )
+        bound_kth = (
+            F.lit(float(radius - 1)) * km_per_unit_at(lat_reach_kth) * F.lit(SAFETY)
+        )
+        done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth_km") <= bound_kth))
         resolved_parts.append(
             ranked.join(done_ids.select("point_id"), "point_id", "left_semi").select(
                 "point_id", "target_id", "dist_km", "knn_rank"
@@ -133,8 +144,20 @@ def knn_join(
         )
         unresolved = unresolved.join(done_ids.select("point_id"), "point_id", "left_anti")
         if unresolved.limit(1).count() == 0:
+            unresolved = None
             break
-        radius = min(radius * 4, max_radius)
+        radius *= 4
+
+    if unresolved is not None and unresolved.limit(1).count() > 0:
+        # exact fallback for target-sparse stragglers: brute force vs all targets
+        fallback = (
+            unresolved.crossJoin(F.broadcast(tgt))
+            .withColumn("dist_km", dist)
+            .withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k)
+            .select("point_id", "target_id", "dist_km", "knn_rank")
+        )
+        resolved_parts.append(fallback)
 
     out = resolved_parts[0]
     for part in resolved_parts[1:]:

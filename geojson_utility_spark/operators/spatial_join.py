@@ -138,9 +138,6 @@ def polygon_cover(
     return valid.mapInPandas(batches, COVER_SCHEMA)
 
 
-PIP_RESULT_SCHEMA = "point_id string, lat double, lon double, polygon_id string"
-
-
 def _refine_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """Exact PIP for one (salted) polygon group — vectorized ray cast, covers
     semantics (boundary-inclusive)."""
@@ -200,20 +197,24 @@ def spatial_join(
 
     candidates = candidates.select("point_id", "lat", "lon", "polygon_id", "ring_json")
 
+    # result schema tracks the caller's point-id type (string/bigint/...)
+    pid_type = dict(pts.dtypes)["point_id"]
+    result_schema = f"point_id {pid_type}, lat double, lon double, polygon_id string"
+
     # refine with salted repartition on (polygon_id, salt) — hot-cell skew killer
     if salt > 1:
         salted = candidates.withColumn(
-            "_salt", F.pmod(F.xxhash64("point_id"), F.lit(salt))
+            "_salt", F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(salt))
         )
         refined = (
             salted.groupBy("polygon_id", "_salt")
             .applyInPandas(
-                lambda key, pdf: _refine_groups(pdf), PIP_RESULT_SCHEMA
+                lambda key, pdf: _refine_groups(pdf), result_schema
             )
         )
     else:
         refined = candidates.groupBy("polygon_id").applyInPandas(
-            lambda key, pdf: _refine_groups(pdf), PIP_RESULT_SCHEMA
+            lambda key, pdf: _refine_groups(pdf), result_schema
         )
 
     if how == "inner":
