@@ -138,19 +138,17 @@ def polygon_cover(
     return valid.mapInPandas(batches, COVER_SCHEMA)
 
 
-def _refine_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Exact PIP for one (salted) polygon group — vectorized ray cast, covers
-    semantics (boundary-inclusive)."""
-    if pdf.empty:
-        return pd.DataFrame(
-            {"point_id": [], "lat": [], "lon": [], "polygon_id": []}
-        )
-    ring = np.asarray(json.loads(pdf["ring_json"].iloc[0]), dtype=np.float64)
+def _refine_cogroup(cand: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
+    """Exact PIP for one (polygon, salt) cogroup — vectorized ray cast, covers
+    semantics (boundary-inclusive).  ``cand`` holds the candidate points, ``rings``
+    exactly one replicated ring row."""
+    if cand.empty or rings.empty:
+        return pd.DataFrame({"point_id": [], "lat": [], "lon": [], "polygon_id": []})
+    ring = np.asarray(json.loads(rings["ring_json"].iloc[0]), dtype=np.float64)
     inside = P.points_in_polygon(
-        pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64), [ring]
+        cand["lon"].to_numpy(np.float64), cand["lat"].to_numpy(np.float64), [ring]
     )
-    hit = pdf.loc[inside, ["point_id", "lat", "lon", "polygon_id"]]
-    return hit
+    return cand.loc[inside, ["point_id", "lat", "lon", "polygon_id"]]
 
 
 def spatial_join(
@@ -167,11 +165,13 @@ def spatial_join(
     how: 'inner' -> (point_id, lat, lon, polygon_id) matches;
          'left_semi' -> served points; 'left_anti' -> serviceability-gap points.
     """
+    spark = points.sparkSession
     pts = points.select(
         F.col(point_id).alias("point_id"), "lat", "lon"
     )
-    norm = normalize_polygons(polygons)
-    cover = polygon_cover(norm, zoom=zoom, compact=compact)
+    # polygon side is small: cache so normalize+cover run once, not once per zoom probe
+    norm = normalize_polygons(polygons).cache()
+    cover = polygon_cover(norm, zoom=zoom, compact=compact).cache()
 
     if compact:
         # distinct zooms present in the compacted cover (small driver-side list)
@@ -181,6 +181,8 @@ def spatial_join(
     else:
         zooms = [zoom]
 
+    # candidate join: broadcast ONLY (polygon_id, cell) — rings never enter the
+    # broadcast nor the per-candidate shuffle rows (they weigh KBs vs ~40 B/candidate)
     fine = pts.withColumn("_cell_fine", cell_expr(F.col("lat"), F.col("lon"), zoom))
     candidates = None
     for z in zooms:
@@ -189,33 +191,36 @@ def spatial_join(
         )
         cov_z = cover.filter(F.col("cell_zoom") == z)
         cand_z = probe.join(
-            F.broadcast(cov_z.select("polygon_id", "ring_json", F.col("cell").alias("_cell"))),
+            F.broadcast(cov_z.select("polygon_id", F.col("cell").alias("_cell"))),
             "_cell",
             "inner",
         )
         candidates = cand_z if candidates is None else candidates.unionByName(cand_z)
 
-    candidates = candidates.select("point_id", "lat", "lon", "polygon_id", "ring_json")
+    candidates = candidates.select("point_id", "lat", "lon", "polygon_id")
 
     # result schema tracks the caller's point-id type (string/bigint/...)
     pid_type = dict(pts.dtypes)["point_id"]
     result_schema = f"point_id {pid_type}, lat double, lon double, polygon_id string"
 
-    # refine with salted repartition on (polygon_id, salt) — hot-cell skew killer
-    if salt > 1:
-        salted = candidates.withColumn(
-            "_salt", F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(salt))
-        )
-        refined = (
-            salted.groupBy("polygon_id", "_salt")
-            .applyInPandas(
-                lambda key, pdf: _refine_groups(pdf), result_schema
-            )
-        )
-    else:
-        refined = candidates.groupBy("polygon_id").applyInPandas(
-            lambda key, pdf: _refine_groups(pdf), result_schema
-        )
+    # refine: COGROUP candidates with rings on (polygon_id, salt) — the hot-cell skew
+    # killer: a dense polygon's candidates split across `salt` tasks, each task gets
+    # the ring exactly once (replicated ring rows, not per-candidate ring payloads)
+    n_salt = max(1, salt)
+    salted = candidates.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(n_salt)),
+    )
+    rings_salted = norm.filter(F.col("poly_errors") == "").select(
+        "polygon_id", "ring_json"
+    ).crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+    )
+    refined = (
+        salted.groupBy("polygon_id", "_salt")
+        .cogroup(rings_salted.groupBy("polygon_id", "_salt"))
+        .applyInPandas(_refine_cogroup, result_schema)
+    )
 
     if how == "inner":
         return refined
