@@ -209,6 +209,33 @@ SHARED_SQL: dict[str, str] = {
         "WHEN o_orderstatus = 'O' THEN 'processing' ELSE 'partial' END AS status, "
         "count(*) AS n FROM orders GROUP BY 1"
     ),
+    # exact distinct-count aggregate
+    "agg_count_distinct": (
+        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
+    ),
+    # grouping-sets family: ROLLUP with subtotal rows
+    "agg_rollup": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    # date functions: month truncation + extraction
+    "date_monthly_orders": (
+        "SELECT cast(extract(year FROM o_orderdate) * 100 "
+        "+ extract(month FROM o_orderdate) AS bigint) AS month, "
+        "count(*) AS n_orders, "
+        "cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total "
+        "FROM orders GROUP BY 1"
+    ),
+    # string-function family
+    "string_functions": (
+        "SELECT c_custkey, upper(c_mktsegment) AS seg_upper, "
+        "substring(c_name, 1, 8) AS name_prefix, "
+        "replace(c_name, 'Customer', 'C') AS name_short, "
+        "length(c_name) AS name_len, "
+        "c_mktsegment || '/' || c_name AS seg_name FROM customer"
+    ),
     # P10/P11: lenient numeric parse + precedence CASE + truncation
     "drive_value_precedence": (
         "SELECT l_orderkey, l_linenumber, "
@@ -337,6 +364,22 @@ def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = spark.sql(TGT_SUPPLIER)
     return knn_join(pts, tgt, k=3, zoom=7, max_radius=32).select(
         "point_id", "target_id", "knn_rank"
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON document access (§2.7 json family): extract typed field from props."""
+    register_views(spark, sf_dir)
+    return spark.table("events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").try_cast("bigint").alias("k_value"),
+    )
+
+
+def oracle_json_extract() -> str:
+    return (
+        "SELECT event_id, try_cast(json_extract_string(props, '$.k') AS bigint) "
+        "AS k_value FROM events"
     )
 
 
@@ -634,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "validate_id_fields": q_validate_id_fields,
             "token_count_ws": q_token_count_ws,
             "dedup_fingerprint_winner": q_dedup_fingerprint,
+            "json_extract": q_json_extract,
             # rows-only (non-SQL-expressible)
             "flagship_image_join": q_flagship_image_join,
             "minhash_near_dups": q_minhash_near_dups,
@@ -665,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
             "validate_id_fields": oracle_validate_id_fields(),
             "token_count_ws": oracle_token_count_ws(),
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
+            "json_extract": oracle_json_extract(),
         }
     )
     return out
