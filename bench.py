@@ -65,7 +65,7 @@ def bench_queries(spark):
                          "centroid_lon": "lon"}
             )
         )
-        return knn_join(pts, tgt, k=3)
+        return knn_join(pts, tgt, k=3, zoom=9)
 
     def minhash():
         return minhash_near_dups(spark.table("documents"), "text", "doc_id", 0.5)

@@ -246,6 +246,108 @@ def polygon_to_cells(ring: np.ndarray, zoom: int) -> np.ndarray:
     return np.sort(cand[inside])
 
 
+def _classify_tiles(cand: np.ndarray, ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(fully_inside, intersecting) boolean masks for candidate tiles vs a closed ring.
+
+    fully_inside: every corner inside AND no ring edge crosses the tile AND no ring
+    vertex inside (sufficient for a simple polygon without holes).
+    intersecting: tile ∩ polygon ≠ ∅ (corners inside OR vertex in tile OR edge cross).
+    """
+    w, s, e, n = cell_bounds(cand)
+    c_in = []
+    for px, py in ((w, s), (w, n), (e, s), (e, n)):
+        c_in.append(_points_in_ring(px, py, ring))
+    corners_in = np.stack(c_in, axis=0)
+    all_corners = corners_in.all(axis=0)
+    any_corner = corners_in.any(axis=0)
+
+    vx = ring[:-1, 0][None, :]
+    vy = ring[:-1, 1][None, :]
+    vert_in = (
+        (vx >= w[:, None]) & (vx <= e[:, None]) & (vy >= s[:, None]) & (vy <= n[:, None])
+    ).any(axis=1)
+
+    # edge crossings only where undecided by the cheap tests
+    edge_cross = np.zeros(cand.shape[0], dtype=bool)
+    need = ~(vert_in & True)  # vertex-in already implies intersecting AND not-full-inside
+    idx = np.nonzero(need | all_corners)[0]
+    if idx.size:
+        r1 = ring[:-1]
+        r2 = ring[1:]
+        wi, si, ei, ni = w[idx], s[idx], e[idx], n[idx]
+        hit = np.zeros(idx.shape[0], dtype=bool)
+        for (ax, ay, bx, by) in (
+            (wi, si, ei, si),
+            (ei, si, ei, ni),
+            (ei, ni, wi, ni),
+            (wi, ni, wi, si),
+        ):
+            a1 = np.stack([ax, ay], axis=1)
+            a2 = np.stack([bx, by], axis=1)
+            hit |= _segments_intersect(a1, a2, r1, r2).any(axis=1)
+        edge_cross[idx] = hit
+
+    fully_inside = all_corners & ~vert_in & ~edge_cross
+    # tile center inside catches the tile-engulfs-nothing corner case conservatively
+    cx = (w + e) / 2.0
+    cy = (s + n) / 2.0
+    center_in = _points_in_ring(cx, cy, ring)
+    intersecting = any_corner | vert_in | edge_cross | center_in
+    return fully_inside, intersecting
+
+
+def polygon_to_cells_adaptive(
+    ring: np.ndarray, zoom: int, coarse_zoom: int | None = None
+) -> np.ndarray:
+    """Compact multi-zoom covering via quadtree descent — the scale path.
+
+    Starts at a coarse zoom over the ring bbox; fully-inside tiles are emitted as-is
+    (already 'compacted'), disjoint tiles dropped, boundary tiles descend to children
+    until ``zoom``.  Cost is O(perimeter) tiles per level instead of O(area) at the
+    finest level, which is what makes oversized polygons (150 km catchments covering
+    ~10^5 fine tiles) cheap to index.  Superset guarantee preserved: every point of the
+    polygon lies in an emitted tile.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if not (ring[0] == ring[-1]).all():
+        ring = np.vstack([ring, ring[:1]])
+    lon_min, lat_min = ring.min(axis=0)
+    lon_max, lat_max = ring.max(axis=0)
+    if coarse_zoom is None:
+        # pick the coarsest zoom where the bbox spans <= ~8 tiles per axis
+        span_deg = max(lon_max - lon_min, lat_max - lat_min, 1e-9)
+        coarse_zoom = max(0, min(zoom, int(np.floor(np.log2(360.0 / span_deg * 8)))))
+    c_min = latlng_to_cell(lat_max, lon_min, coarse_zoom)
+    c_max = latlng_to_cell(lat_min, lon_max, coarse_zoom)
+    _, x0, y0 = (int(v) for v in unpack_cell(c_min))
+    _, x1, y1 = (int(v) for v in unpack_cell(c_max))
+    xs = np.arange(x0, x1 + 1, dtype=np.int64)
+    ys = np.arange(y0, y1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    frontier = pack_cell(coarse_zoom, gx.ravel(), gy.ravel())
+    out: list[np.ndarray] = []
+    z = coarse_zoom
+    while frontier.size:
+        full, inter = _classify_tiles(frontier, ring)
+        if z == zoom:
+            out.append(frontier[inter])
+            break
+        out.append(frontier[full])
+        boundary = frontier[inter & ~full]
+        if boundary.size == 0:
+            break
+        bz, bx, by = unpack_cell(boundary)
+        dx = np.array([0, 0, 1, 1], dtype=np.int64)
+        dy = np.array([0, 1, 0, 1], dtype=np.int64)
+        cx = (bx[:, None] << 1) + dx[None, :]
+        cy = (by[:, None] << 1) + dy[None, :]
+        frontier = pack_cell(z + 1, cx.ravel(), cy.ravel())
+        z += 1
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(out))
+
+
 def compact_cells(cells: np.ndarray) -> np.ndarray:
     """Replace every complete set of 4 sibling cells by their parent, recursively —
     exact on a quadtree (unlike aperture-7 H3).  Input may mix zooms."""

@@ -114,7 +114,10 @@ def knn_join(
         F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
     )
 
-    unresolved = pts
+    # every round materializes its outputs (localCheckpoint truncates lineage) —
+    # otherwise round r+1's left_anti would recompute rounds 1..r's whole candidate
+    # pipeline, turning the escalation loop quadratic
+    unresolved = pts.localCheckpoint(eager=True)
     resolved_parts: list[DataFrame] = []
     radius = initial_radius
     while radius <= max_radius:
@@ -124,7 +127,7 @@ def knn_join(
             cand.withColumn("dist_km", dist)
             .withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
-        )
+        ).localCheckpoint(eager=True)
         kth = ranked.groupBy("point_id").agg(
             F.count("*").alias("_n"),
             F.max("dist_km").alias("_kth_km"),
@@ -142,7 +145,9 @@ def knn_join(
                 "point_id", "target_id", "dist_km", "knn_rank"
             )
         )
-        unresolved = unresolved.join(done_ids.select("point_id"), "point_id", "left_anti")
+        unresolved = unresolved.join(
+            done_ids.select("point_id"), "point_id", "left_anti"
+        ).localCheckpoint(eager=True)
         if unresolved.limit(1).count() == 0:
             unresolved = None
             break

@@ -117,9 +117,11 @@ def polygon_cover(
                 if rj is None:
                     continue
                 ring = np.asarray(json.loads(rj), dtype=np.float64)
-                cover = C.polygon_to_cells(ring, zoom)
-                if compact:
-                    cover = C.compact_cells(cover)
+                # adaptive quadtree descent: O(perimeter) work per level, emits an
+                # already-compacted multi-zoom cover (oversized polygons stay cheap)
+                cover = C.polygon_to_cells_adaptive(ring, zoom)
+                if not compact:
+                    cover = C.uncompact_cells(cover, zoom)
                 zs = C.unpack_cell(cover)[0]
                 out_pid.extend([pid] * len(cover))
                 out_cell.extend(cover.tolist())

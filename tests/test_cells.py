@@ -146,3 +146,38 @@ def test_quadkey_roundtrip_and_prefix():
 def test_quadkey_bijection(lat, lon):
     cell = C.latlng_to_cell([lat], [lon], 17)
     np.testing.assert_array_equal(C.quadkey_to_cell(C.cell_to_quadkey(cell)), cell)
+
+
+def test_adaptive_cover_equals_bruteforce():
+    """adaptive descent + uncompact == brute-force fine-zoom covering."""
+    from geojson_utility_spark.functions import geometry as G
+
+    rings = [
+        SQUARE,
+        G.synth_catchment_ring(28.6, 77.2, 5000, "drive_distance"),
+        G.synth_catchment_ring(19.0, 72.8, 150000, "drive_distance", 48),
+    ]
+    for ring in rings:
+        for zoom in (10, 12):
+            brute = C.polygon_to_cells(np.asarray(ring), zoom)
+            adaptive = C.uncompact_cells(
+                C.polygon_to_cells_adaptive(np.asarray(ring), zoom), zoom
+            )
+            np.testing.assert_array_equal(adaptive, np.sort(brute))
+
+
+def test_adaptive_cover_is_compact_and_fast():
+    import time
+
+    from geojson_utility_spark.functions import geometry as G
+
+    big = G.synth_catchment_ring(19.0, 72.8, 150000, "drive_distance", 48)
+    t0 = time.perf_counter()
+    cover = C.polygon_to_cells_adaptive(np.asarray(big), 13)
+    dt = time.perf_counter() - t0
+    assert dt < 2.0, f"adaptive covering too slow: {dt:.2f}s"
+    # mixed zooms present and far fewer cells than the uncompacted cover
+    zs = C.unpack_cell(cover)[0]
+    assert len(set(zs.tolist())) > 1
+    full = C.uncompact_cells(cover, 13)
+    assert len(cover) < len(full) / 3
