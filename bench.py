@@ -49,16 +49,20 @@ def bench_queries(spark):
     ids = [f"img_{i:012d}" for i in range(n_points)]
     pts_pdf = FX.image_point(ids)
     polys_pdf = FX.make_polygons(120)[["polygon_id", "geojson"]]
+    # stage the point table as parquet — the realistic source (distributed scan with
+    # column pruning), not a driver-local pandas payload re-shipped per stage
+    pts_path = "/tmp/bench_points.parquet"
+    spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id").write.mode(
+        "overwrite"
+    ).parquet(pts_path)
 
     def flagship():
-        pts = spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id")
+        pts = spark.read.parquet(pts_path)
         polys = spark.createDataFrame(polys_pdf)
         return spatial_join(pts, polys, compact=True, salt=8)
 
     def knn():
-        pts = spark.createDataFrame(pts_pdf.iloc[:100_000]).withColumnRenamed(
-            "image_id", "point_id"
-        )
+        pts = spark.read.parquet(pts_path).limit(100_000)
         tgt = spark.createDataFrame(
             FX.make_polygons(120)[["polygon_id", "centroid_lat", "centroid_lon"]].rename(
                 columns={"polygon_id": "target_id", "centroid_lat": "lat",

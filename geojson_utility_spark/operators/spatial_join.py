@@ -184,22 +184,20 @@ def spatial_join(
         zooms = [zoom]
 
     # candidate join: broadcast ONLY (polygon_id, cell) — rings never enter the
-    # broadcast nor the per-candidate shuffle rows (they weigh KBs vs ~40 B/candidate)
+    # broadcast nor the per-candidate shuffle rows (they weigh KBs vs ~40 B/candidate).
+    # ONE scan of the point table: ancestors at every cover zoom come from bit-shift
+    # expressions, posexplode multiplies rows JVM-side, one broadcast hash join total
+    # (cell ids embed their zoom, so a single join key covers all zooms collision-free).
     fine = pts.withColumn("_cell_fine", cell_expr(F.col("lat"), F.col("lon"), zoom))
-    candidates = None
-    for z in zooms:
-        probe = fine.withColumn(
-            "_cell", cell_parent_expr(F.col("_cell_fine"), z, zoom)
-        )
-        cov_z = cover.filter(F.col("cell_zoom") == z)
-        cand_z = probe.join(
-            F.broadcast(cov_z.select("polygon_id", F.col("cell").alias("_cell"))),
-            "_cell",
-            "inner",
-        )
-        candidates = cand_z if candidates is None else candidates.unionByName(cand_z)
-
-    candidates = candidates.select("point_id", "lat", "lon", "polygon_id")
+    ancestors = F.array(
+        *[cell_parent_expr(F.col("_cell_fine"), z, zoom) for z in zooms]
+    )
+    probe = fine.withColumn("_cell", F.explode(ancestors)).drop("_cell_fine")
+    candidates = probe.join(
+        F.broadcast(cover.select("polygon_id", F.col("cell").alias("_cell"))),
+        "_cell",
+        "inner",
+    ).select("point_id", "lat", "lon", "polygon_id")
 
     # result schema tracks the caller's point-id type (string/bigint/...)
     pid_type = dict(pts.dtypes)["point_id"]

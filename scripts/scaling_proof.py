@@ -34,9 +34,11 @@ spark = get_spark(app_name=f"scale_{{cores}}", master=f"local[{{cores}}]",
 ids = [f"img_{{i:012d}}" for i in range(n_points)]
 pts_pdf = FX.image_point(ids)
 polys_pdf = FX.make_polygons(120)[["polygon_id", "geojson"]]
-pts = spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id").repartition(cores).cache()
+pts_path = f"/tmp/scaling_points_{{n_points}}.parquet"
+if not os.path.exists(pts_path + "/_SUCCESS"):
+    spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id").repartition(32).write.mode("overwrite").parquet(pts_path)
+pts = spark.read.parquet(pts_path)
 polys = spark.createDataFrame(polys_pdf)
-pts.count()  # materialize input outside the timed section
 # warmup (JIT, code paths)
 spatial_join(pts.limit(20000), polys, compact=True, salt=8).count()
 t0 = time.perf_counter()
