@@ -94,6 +94,12 @@ def dashboard_stats(lineage: DataFrame, user_id: int, now: dt.datetime) -> dict:
         base.unpersist()
 
 
+def downloadable_runs(lineage: DataFrame) -> DataFrame:
+    """P13 status-gate filter: downloads only when status is terminal
+    (reference: catchment.py:636-637 rejects pending/processing)."""
+    return lineage.filter(~F.col("status").isin("pending", "processing"))
+
+
 def status_percentages(lineage: DataFrame) -> DataFrame:
     """A8: per-status share, round(100*n/total, 1) guarded total>0."""
     counts = lineage.groupBy("status").agg(F.count("*").alias("n"))

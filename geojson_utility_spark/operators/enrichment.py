@@ -66,12 +66,45 @@ def enrich_locations(
     if token_budget is not None:
         # deterministic budget predicate: first N valid rows in input order get tokens
         # (replaces the reference's SELECT...FOR UPDATE row-locked counter,
-        #  backend/core/lepton_usage.py:51-64)
-        w = Window.orderBy("row_idx")
-        rank_valid = F.sum(is_valid.cast("int")).over(w)
-        v = v.withColumn(
-            "_over_budget", is_valid & (rank_valid > F.lit(token_budget))
+        #  backend/core/lepton_usage.py:51-64).  Distributed two-pass global rank:
+        # per-partition valid counts -> driver prefix sums -> partition-local window
+        # rank + broadcast offset.  No single-partition global window; row_idx
+        # (monotonically_increasing_id) orders rows within AND across partitions.
+        v = v.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=False)
+        counts = {
+            r["_pid"]: r["n"]
+            for r in v.filter(is_valid)
+            .groupBy("_pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_expr = F.coalesce(
+            *(
+                [
+                    F.create_map(
+                        *[
+                            x
+                            for pid, off in sorted(offsets.items())
+                            for x in (F.lit(pid), F.lit(off))
+                        ]
+                    )[F.col("_pid")]
+                ]
+                if offsets
+                else []
+            ),
+            F.lit(0),
         )
+        w_local = Window.partitionBy("_pid").orderBy("row_idx")
+        local_rank = F.sum(is_valid.cast("int")).over(w_local)
+        v = v.withColumn(
+            "_over_budget",
+            is_valid & ((local_rank + offset_expr) > F.lit(token_budget)),
+        ).drop("_pid")
     else:
         v = v.withColumn("_over_budget", F.lit(False))
 

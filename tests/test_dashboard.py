@@ -72,3 +72,11 @@ def test_status_percentages(lineage):
     for status, n in pdf["status"].value_counts().items():
         assert got.loc[status, "n"] == n
         assert got.loc[status, "pct"] == round(100.0 * n / len(pdf), 1)
+
+
+def test_downloadable_runs_gate(lineage):
+    df, pdf = lineage
+    got = DB.downloadable_runs(df).toPandas()
+    want = pdf[~pdf["status"].isin(["pending", "processing"])]
+    assert len(got) == len(want)
+    assert set(got["status"]) <= {"done", "partial", "failed"}

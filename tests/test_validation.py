@@ -243,3 +243,26 @@ def test_enrichment_budget_and_metrics(spark):
     m3 = run_metrics(enrich_locations(clean, token_budget=1))
     assert m3["status"] == "partial"
     assert m3["error"] == "Token allocation exhausted during processing"
+
+
+def test_enrichment_matches_committed_golden(spark):
+    """End-to-end regression pin: full pipeline output vs committed golden CSV."""
+    import os
+
+    import pandas as pd
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_enrichment.csv")
+    golden = pd.read_csv(golden_path, dtype=str).fillna("")
+    df = spark.createDataFrame(FX.make_locations(20).astype(object))
+    out = (
+        enrich_locations(df)
+        .drop("row_idx", "lat", "lon")
+        .toPandas()
+        .astype(str)
+    )
+    out = out.where(out != "None", "").reset_index(drop=True)
+    assert len(out) == len(golden)
+    for col in golden.columns:
+        got_col = out[col].fillna("").tolist()
+        want_col = golden[col].fillna("").tolist()
+        assert got_col == want_col, f"golden mismatch in column {col}"
