@@ -41,8 +41,12 @@ def exact_dup_groups(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
-def _shingles(col, n: int = 3):
-    """Character n-gram array of the normalized text (lowercased, squeezed spaces)."""
+def _shingles(col, n: int = 8):
+    """Character n-gram array of the normalized text (lowercased, squeezed spaces).
+
+    Default n=8: long enough that unrelated documents over a shared vocabulary do not
+    collide (char-3-grams of same-domain text have ~0.5 Jaccard between RANDOM pairs,
+    flooding LSH with all-pairs candidates; 8-grams drop that to ~0.04)."""
     norm = F.regexp_replace(F.lower(col), r"\s+", " ")
     return F.array_distinct(
         F.transform(
@@ -52,14 +56,14 @@ def _shingles(col, n: int = 3):
     )
 
 
-def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("shingles")
     )
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_n: int = 3
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_n: int = 8
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — minhash over character shingles.
 
@@ -115,7 +119,7 @@ def minhash_candidate_pairs(
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 3
+    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 8
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs."""
     sh = shingle_df(df, text_col, id_col, shingle_n)
@@ -140,7 +144,7 @@ def minhash_near_dups(
     threshold: float = 0.7,
     n_hashes: int = 32,
     n_bands: int = 8,
-    shingle_n: int = 3,
+    shingle_n: int = 8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
     Jaccard verify -> pairs over threshold."""

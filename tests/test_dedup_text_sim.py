@@ -20,7 +20,7 @@ def docs_pd(docs):
     return docs.toPandas()
 
 
-def _py_shingles(text, n=3):
+def _py_shingles(text, n=8):
     import re
 
     norm = re.sub(r"\s+", " ", text.lower())
