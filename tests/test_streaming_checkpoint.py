@@ -88,3 +88,35 @@ def test_locations_csv_roundtrip(spark, tmp_path):
     assert back.count() == len(pdf)
     sample = sample_csv_frame(spark).toPandas()
     assert sample.iloc[0]["location_gps"] == "28.5065162,77.073938"
+
+
+def test_windowed_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming windowed agg over the events parquet == equivalent batch query."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from geojson_utility_spark.streaming.windows import (
+        run_windowed_query,
+        windowed_counts,
+    )
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    q = run_windowed_query(spark, src, sink_table="win_test", window="6 hours")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM win_test").toPandas()
+    finally:
+        q.stop()
+    batch = (
+        windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"), window="6 hours")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s["n"].to_numpy() == want_s["n"].to_numpy()).all()
+    assert (abs(got_s["total_value"].to_numpy() - want_s["total_value"].to_numpy()) < 1e-9).all()
