@@ -48,11 +48,12 @@ def _shingles(col, n: int = 8):
     collide (char-3-grams of same-domain text have ~0.5 Jaccard between RANDOM pairs,
     flooding LSH with all-pairs candidates; 8-grams drop that to ~0.04)."""
     norm = F.regexp_replace(F.lower(col), r"\s+", " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-            lambda i: F.substring(norm, i, F.lit(n)),
-        )
+    # NOTE: no array_distinct — it is O(len^2) per row on string arrays and
+    # unnecessary: min() is duplicate-insensitive and array_intersect/array_union
+    # already use set semantics, so every consumer sees set behavior anyway.
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, F.lit(n)),
     )
 
 
@@ -67,18 +68,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — minhash over character shingles.
 
-    Hash family: xxhash64(shingle, seed=i) — JVM-side, vectorized, no UDF.  min() per
-    seed via aggregate over the shingle array (no explode — zero shuffle for the
-    signature computation).
+    Physical shape (same pattern as simhash64): explode shingles -> ``n_hashes``
+    flat xxhash64 columns (whole-stage codegen) -> ONE groupBy(doc_id) with
+    ``n_hashes`` min() aggregates (map-side partial agg) -> assemble the signature
+    array.  The naive nested-lambda formulation (transform over seeds x array_min
+    over shingles) allocates 32 intermediate arrays per row outside codegen and is
+    ~100x slower — do not regress to it.
     """
-    sh = shingle_df(df, text_col, id_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, seed))
-        ),
+    # normalize ONCE per doc, then explode a position sequence and slice with a
+    # codegen substring — no per-row array-of-strings materialization, no interpreted
+    # higher-order lambda, no re-evaluated regexp per shingle
+    norm = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    exploded = norm.select(
+        "doc_id",
+        "_norm",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_norm") - (shingle_n - 1), F.lit(1))
+            )
+        ).alias("_i"),
+    ).withColumn("shingle", F.substring(F.col("_norm"), F.col("_i"), F.lit(shingle_n)))
+    hashed = exploded.select(
+        "doc_id",
+        *[F.xxhash64("shingle", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)],
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_candidate_pairs(
@@ -121,8 +143,17 @@ def minhash_candidate_pairs(
 def jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 8
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs."""
-    sh = shingle_df(df, text_col, id_col, shingle_n)
+    """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs.
+
+    Shingle arrays are materialized ONLY for docs that appear in a candidate pair
+    (semi join first) — the verify stage touches the candidate set, never the corpus.
+    """
+    needed = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = shingle_df(df.join(needed, id_col, "left_semi"), text_col, id_col, shingle_n)
     a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a")
     b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -53,8 +53,11 @@ def test_minhash_near_dups_finds_planted_pair(spark, docs):
     )
     pairs = D.minhash_near_dups(plus, "text", "doc_id", threshold=0.6).toPandas()
     assert ((pairs["doc_a"] == row["doc_id"]) & (pairs["doc_b"] == 999999)).any()
-    # verified jaccard really is over threshold
-    j = pairs.loc[(pairs["doc_b"] == 999999), "jaccard"].iloc[0]
+    # verified jaccard really is over threshold (select THE planted pair — the
+    # corpus itself contains genuine near-dups of doc 0 that also pair with 999999)
+    j = pairs.loc[
+        (pairs["doc_a"] == row["doc_id"]) & (pairs["doc_b"] == 999999), "jaccard"
+    ].iloc[0]
     a, b = _py_shingles(row["text"]), _py_shingles(near)
     want_j = len(a & b) / len(a | b)
     assert abs(j - want_j) < 1e-9
