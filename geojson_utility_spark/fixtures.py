@@ -65,6 +65,38 @@ def image_point(image_ids: np.ndarray | list[str]) -> pd.DataFrame:
     return pd.DataFrame({"image_id": ids, "lat": lat, "lon": lon})
 
 
+def image_point_df(spark, n: int):
+    """Spark-native deterministic point cloud with the same hotspot-mixture *shape* as
+    :func:`image_point` (xxhash64 family instead of FNV — identical distribution
+    geometry, not row-identical) — generates billions of rows with zero driver work.
+
+    All expressions, all codegen: `spark.range` -> hash -> mixture selection ->
+    Box-Muller blobs around the hotspots + uniform background.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.concat(F.lit("img_"), F.lpad(F.col("id").cast("string"), 12, "0")).alias(
+            "point_id"
+        ),
+        F.col("id"),
+    )
+    u_sel = F.pmod(F.xxhash64("id"), F.lit(10_000)) / F.lit(10_000.0)
+    u1 = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    u2 = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    r = F.sqrt(F.lit(-2.0) * F.log(F.greatest(u1, F.lit(1e-9)))) * F.lit(0.05)
+    th = F.lit(2.0 * np.pi) * u2
+    lat = F.lit(8.0) + u1 * F.lit(26.0)
+    lon = F.lit(68.0) + u2 * F.lit(24.0)
+    acc = _BG_WEIGHT
+    for clat, clon, wgt in HOTSPOTS:
+        sel = (u_sel >= F.lit(acc)) & (u_sel < F.lit(acc + wgt))
+        lat = F.when(sel, F.lit(clat) + r * F.sin(th)).otherwise(lat)
+        lon = F.when(sel, F.lit(clon) + r * F.cos(th)).otherwise(lon)
+        acc += wgt
+    return df.select("point_id", lat.alias("lat"), lon.alias("lon"))
+
+
 def _fnv1a64(ids: np.ndarray) -> np.ndarray:
     out = np.empty(len(ids), dtype=np.uint64)
     with np.errstate(over="ignore"):

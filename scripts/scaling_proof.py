@@ -31,16 +31,14 @@ from geojson_utility_spark.operators.spatial_join import spatial_join
 
 spark = get_spark(app_name=f"scale_{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
-ids = [f"img_{{i:012d}}" for i in range(n_points)]
-pts_pdf = FX.image_point(ids)
 polys_pdf = FX.make_polygons(120)[["polygon_id", "geojson"]]
 pts_path = f"/tmp/scaling_points_{{n_points}}.parquet"
 if not os.path.exists(pts_path + "/_SUCCESS"):
-    spark.createDataFrame(pts_pdf).withColumnRenamed("image_id", "point_id").repartition(32).write.mode("overwrite").parquet(pts_path)
+    FX.image_point_df(spark, n_points).repartition(64).write.mode("overwrite").parquet(pts_path)
 pts = spark.read.parquet(pts_path)
 polys = spark.createDataFrame(polys_pdf)
 # warmup (JIT, code paths)
-spatial_join(pts.limit(20000), polys, compact=True, salt=8).count()
+spatial_join(pts.limit(50000), polys, compact=True, salt=8).count()
 t0 = time.perf_counter()
 n = spatial_join(pts, polys, compact=True, salt=8).count()
 dt = time.perf_counter() - t0
@@ -63,7 +61,7 @@ def run_level(cores: int, n_points: int) -> dict:
 
 
 def main():
-    n_points = int(os.environ.get("SCALING_POINTS", "400000"))
+    n_points = int(os.environ.get("SCALING_POINTS", "8000000"))
     n_small = int(os.environ.get("SCALING_N", "8"))
     r_small = run_level(n_small, n_points)
     r_big = run_level(n_small * 4, n_points)

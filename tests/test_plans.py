@@ -1,0 +1,75 @@
+"""Physical-plan assertions — the plan-shape contracts that make the engine scale.
+
+These pin the properties a 1000-executor run depends on: the candidate join stays a
+broadcast hash join (never a sort-merge shuffle of the point table), parquet scans
+prune to the referenced columns (an image-table query that doesn't touch ``bytes``
+must not read it), and filters push into the scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geojson_utility_spark import fixtures as FX
+from geojson_utility_spark.operators.spatial_join import spatial_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candidate_join_is_broadcast(spark, tmp_path):
+    pts_path = str(tmp_path / "pts.parquet")
+    spark.createDataFrame(
+        FX.image_point([f"img_{i:012d}" for i in range(2000)])
+    ).withColumnRenamed("image_id", "point_id").write.parquet(pts_path)
+    pts = spark.read.parquet(pts_path)
+    polys = spark.createDataFrame(FX.make_polygons(10)[["polygon_id", "geojson"]])
+    plan = _plan(spatial_join(pts, polys, compact=True, salt=4))
+    assert "BroadcastHashJoin" in plan
+    # the trillion-row side must never shuffle for the candidate join
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """A query not touching `bytes` must not read it from the images parquet."""
+    from geojson_utility_spark.schemas import IMAGES_SCHEMA
+
+    path = str(tmp_path / "images.parquet")
+    spark.createDataFrame(FX.make_images(30), schema=IMAGES_SCHEMA).write.parquet(path)
+    images = spark.read.parquet(path)
+    q = images.filter(F.col("fmt") == "png").select("image_id", "phash")
+    plan = _plan(q)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema, f"bytes column not pruned: {read_schema}"
+    assert "phash" in read_schema
+    # predicate pushed to the scan
+    assert "PushedFilters" in plan
+    assert "fmt" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_validation_stays_in_codegen(spark):
+    """Validation predicates compile into WholeStageCodegen spans (no Python in the
+    predicate path; the only UDF is the 4-dp rounding projection)."""
+    from geojson_utility_spark.operators.validation import validate_locations
+
+    df = spark.createDataFrame(FX.make_locations(20).astype(object))
+    plan = _plan(validate_locations(df).select("errors", "catchment_type", "magnitude"))
+    # '*(n)' operator prefix marks WholeStageCodegen spans in executedPlan toString
+    assert "*(" in plan
+
+
+def test_flagship_single_shuffle(spark, tmp_path):
+    """Exactly one Exchange in the inner spatial join (the refine cogroup); the
+    candidate phase is map-only."""
+    pts_path = str(tmp_path / "pts2.parquet")
+    spark.createDataFrame(
+        FX.image_point([f"img_{i:012d}" for i in range(2000)])
+    ).withColumnRenamed("image_id", "point_id").write.parquet(pts_path)
+    pts = spark.read.parquet(pts_path)
+    polys = spark.createDataFrame(FX.make_polygons(10)[["polygon_id", "geojson"]])
+    plan = _plan(spatial_join(pts, polys, compact=True, salt=4))
+    # count point-side exchanges: shuffle exchanges total should be low (refine side
+    # has candidates + replicated rings = 2 exchange inputs to the cogroup)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"unexpected shuffles in plan:\n{plan[:2000]}"
