@@ -120,3 +120,36 @@ def test_windowed_streaming_matches_batch(spark, tmp_path, sf_dir):
     assert len(got_s) == len(want_s)
     assert (got_s["n"].to_numpy() == want_s["n"].to_numpy()).all()
     assert (abs(got_s["total_value"].to_numpy() - want_s["total_value"].to_numpy()) < 1e-9).all()
+
+
+def test_stateful_transitions(spark, tmp_path):
+    """applyInPandasWithState transition tracker: state persists across micro-batches."""
+    from geojson_utility_spark.streaming.progress import ProgressEmitter, read_progress_stream
+    from geojson_utility_spark.streaming.stateful import status_transitions_stateful
+
+    event_dir = str(tmp_path / "events_stateful")
+    em = ProgressEmitter(event_dir)
+    em.emit(1, "pending", emitted_at=1.0)
+    em.emit(1, "processing", emitted_at=2.0)
+    q = (
+        status_transitions_stateful(read_progress_stream(spark, event_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: a duplicate status (suppressed) + a transition
+        em.emit(1, "processing", completed=5, emitted_at=3.0)
+        em.emit(1, "done", emitted_at=4.0)
+        em.emit(2, "pending", emitted_at=5.0)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM trans_test ORDER BY run_id, seq").toPandas()
+    finally:
+        q.stop()
+    r1 = out[out["run_id"] == 1]
+    assert r1["status"].tolist() == ["pending", "processing", "done"]
+    assert r1["prev_status"].tolist() == [None, "pending", "processing"]
+    assert out[out["run_id"] == 2]["status"].tolist() == ["pending"]
