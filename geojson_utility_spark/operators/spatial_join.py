@@ -161,11 +161,21 @@ def spatial_join(
     salt: int = 8,
     point_id: str = "point_id",
     how: str = "inner",
+    refine: str = "broadcast",
 ) -> DataFrame:
     """points(point_id, lat, lon) ⋈ polygons(polygon_id, geojson) on containment.
 
     how: 'inner' -> (point_id, lat, lon, polygon_id) matches;
          'left_semi' -> served points; 'left_anti' -> serviceability-gap points.
+    refine:
+      'broadcast' (default) — rings broadcast to every Python worker; refine is a
+        map-only ``mapInPandas`` over the candidate rows, grouped locally per batch.
+        ZERO shuffles end to end; skew is impossible (work follows partition size).
+        Right whenever the normalized ring set fits in executor memory (up to ~10^6
+        typical catchment rings ≈ a few GB; far past the reference's scale).
+      'cogroup' — candidates shuffled on (polygon_id, salt) and cogrouped with
+        replicated ring rows; the salted-repartition skew treatment (SURVEY.md §4).
+        The fallback when the polygon table itself is too large to broadcast.
     """
     spark = points.sparkSession
     pts = points.select(
@@ -203,24 +213,62 @@ def spatial_join(
     pid_type = dict(pts.dtypes)["point_id"]
     result_schema = f"point_id {pid_type}, lat double, lon double, polygon_id string"
 
-    # refine: COGROUP candidates with rings on (polygon_id, salt) — the hot-cell skew
-    # killer: a dense polygon's candidates split across `salt` tasks, each task gets
-    # the ring exactly once (replicated ring rows, not per-candidate ring payloads)
-    n_salt = max(1, salt)
-    salted = candidates.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(n_salt)),
-    )
-    rings_salted = norm.filter(F.col("poly_errors") == "").select(
-        "polygon_id", "ring_json"
-    ).crossJoin(
-        spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
-    )
-    refined = (
-        salted.groupBy("polygon_id", "_salt")
-        .cogroup(rings_salted.groupBy("polygon_id", "_salt"))
-        .applyInPandas(_refine_cogroup, result_schema)
-    )
+    if refine == "broadcast":
+        # map-only refine: all normalized rings broadcast once per executor; each
+        # Arrow batch is grouped locally by polygon_id and ray-cast per group.
+        # No shuffle, no sort, no skew — candidate rows never leave their partition.
+        rings_map = {
+            r["polygon_id"]: np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
+            for r in norm.filter(F.col("poly_errors") == "")
+            .select("polygon_id", "ring_json")
+            .collect()
+        }
+        bc_rings = spark.sparkContext.broadcast(rings_map)
+
+        def refine_partition(it):
+            rings = bc_rings.value
+            kernels: dict[str, object] = {}
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                lon = pdf["lon"].to_numpy(np.float64)
+                lat = pdf["lat"].to_numpy(np.float64)
+                codes, uniques = pd.factorize(pdf["polygon_id"], sort=False)
+                for gi, pid in enumerate(uniques):
+                    ring = rings.get(pid)
+                    if ring is None:
+                        continue
+                    kern = kernels.get(pid)
+                    if kern is None:
+                        kern = kernels[pid] = P.RingKernel(ring)
+                    idx = np.nonzero(codes == gi)[0]
+                    ins, edg = kern.test_block(lon[idx], lat[idx])
+                    keep[idx] = ins | edg
+                yield pdf.loc[keep, ["point_id", "lat", "lon", "polygon_id"]]
+
+        refined = candidates.mapInPandas(refine_partition, result_schema)
+    elif refine == "cogroup":
+        # shuffle path: candidates cogrouped with replicated rings on
+        # (polygon_id, salt) — the salted-repartition skew treatment for polygon
+        # tables too large to broadcast.  Each task receives the ring exactly once.
+        n_salt = max(1, salt)
+        salted = candidates.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(n_salt)),
+        )
+        rings_salted = norm.filter(F.col("poly_errors") == "").select(
+            "polygon_id", "ring_json"
+        ).crossJoin(
+            spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+        )
+        refined = (
+            salted.groupBy("polygon_id", "_salt")
+            .cogroup(rings_salted.groupBy("polygon_id", "_salt"))
+            .applyInPandas(_refine_cogroup, result_schema)
+        )
+    else:
+        raise ValueError(f"unsupported refine={refine!r}")
 
     if how == "inner":
         return refined

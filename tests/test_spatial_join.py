@@ -41,13 +41,21 @@ def oracle_pairs(data):
     return want
 
 
-@pytest.mark.parametrize("compact,salt", [(False, 1), (False, 8), (True, 8)])
-def test_spatial_join_matches_oracle(spark, data, oracle_pairs, compact, salt):
+@pytest.mark.parametrize(
+    "compact,salt,refine",
+    [
+        (False, 1, "broadcast"),
+        (False, 8, "cogroup"),
+        (True, 8, "broadcast"),
+        (True, 8, "cogroup"),
+    ],
+)
+def test_spatial_join_matches_oracle(spark, data, oracle_pairs, compact, salt, refine):
     pts, polys = data
     pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
     polys_df = spark.createDataFrame(polys[["polygon_id", "geojson"]])
     got_df = SJ.spatial_join(
-        pts_df, polys_df, compact=compact, salt=salt
+        pts_df, polys_df, compact=compact, salt=salt, refine=refine
     )
     got = {(r["point_id"], r["polygon_id"]) for r in got_df.collect()}
     assert got == oracle_pairs
