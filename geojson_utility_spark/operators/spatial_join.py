@@ -95,8 +95,12 @@ def normalize_polygons(polygons: DataFrame) -> DataFrame:
                 rows, columns=["polygon_id", "ring_json", "poly_errors", "n_vertices", "area"]
             )
 
-    return polygons.select("polygon_id", "geojson").mapInPandas(
-        batches, POLYGON_NORM_SCHEMA
+    spark = polygons.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        polygons.select("polygon_id", "geojson")
+        .repartition(n_part, "polygon_id")
+        .mapInPandas(batches, POLYGON_NORM_SCHEMA)
     )
 
 
@@ -137,7 +141,11 @@ def polygon_cover(
             )
 
     valid = polygons.filter(F.col("poly_errors") == "")
-    return valid.mapInPandas(batches, COVER_SCHEMA)
+    # spread cover computation across the cluster — a handful of driver-side input
+    # partitions would serialize the per-polygon covering work
+    spark = polygons.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return valid.repartition(n_part, "polygon_id").mapInPandas(batches, COVER_SCHEMA)
 
 
 def _refine_cogroup(cand: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
@@ -217,6 +225,10 @@ def spatial_join(
         # map-only refine: all normalized rings broadcast once per executor; each
         # Arrow batch is grouped locally by polygon_id and ray-cast per group.
         # No shuffle, no sort, no skew — candidate rows never leave their partition.
+        # mapInArrow, NOT mapInPandas: at ~10^8 candidate rows the Arrow->pandas
+        # conversion materializes billions of Python string objects (id columns) and
+        # becomes the memory-bandwidth ceiling of the whole join; in Arrow the ids
+        # stay in columnar buffers and only lat/lon are viewed as numpy.
         rings_map = {
             r["polygon_id"]: np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
             for r in norm.filter(F.col("poly_errors") == "")
@@ -225,16 +237,22 @@ def spatial_join(
         }
         bc_rings = spark.sparkContext.broadcast(rings_map)
 
-        def refine_partition(it):
+        def refine_arrow(it):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             rings = bc_rings.value
             kernels: dict[str, object] = {}
-            for pdf in it:
-                if pdf.empty:
+            for batch in it:
+                n = batch.num_rows
+                if n == 0:
                     continue
-                keep = np.zeros(len(pdf), dtype=bool)
-                lon = pdf["lon"].to_numpy(np.float64)
-                lat = pdf["lat"].to_numpy(np.float64)
-                codes, uniques = pd.factorize(pdf["polygon_id"], sort=False)
+                lon = batch.column("lon").to_numpy(zero_copy_only=False)
+                lat = batch.column("lat").to_numpy(zero_copy_only=False)
+                enc = pc.dictionary_encode(batch.column("polygon_id"))
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                uniques = enc.dictionary.to_pylist()
+                keep = np.zeros(n, dtype=bool)
                 for gi, pid in enumerate(uniques):
                     ring = rings.get(pid)
                     if ring is None:
@@ -245,9 +263,9 @@ def spatial_join(
                     idx = np.nonzero(codes == gi)[0]
                     ins, edg = kern.test_block(lon[idx], lat[idx])
                     keep[idx] = ins | edg
-                yield pdf.loc[keep, ["point_id", "lat", "lon", "polygon_id"]]
+                yield batch.filter(pa.array(keep))
 
-        refined = candidates.mapInPandas(refine_partition, result_schema)
+        refined = candidates.mapInArrow(refine_arrow, result_schema)
     elif refine == "cogroup":
         # shuffle path: candidates cogrouped with replicated rings on
         # (polygon_id, salt) — the salted-repartition skew treatment for polygon
