@@ -297,8 +297,9 @@ def _classify_tiles(cand: np.ndarray, ring: np.ndarray) -> tuple[np.ndarray, np.
 
 
 def polygon_to_cells_adaptive(
-    ring: np.ndarray, zoom: int, coarse_zoom: int | None = None
-) -> np.ndarray:
+    ring: np.ndarray, zoom: int, coarse_zoom: int | None = None,
+    return_interior: bool = False,
+):
     """Compact multi-zoom covering via quadtree descent — the scale path.
 
     Starts at a coarse zoom over the ring bbox; fully-inside tiles are emitted as-is
@@ -326,13 +327,18 @@ def polygon_to_cells_adaptive(
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     frontier = pack_cell(coarse_zoom, gx.ravel(), gy.ravel())
     out: list[np.ndarray] = []
+    out_interior: list[np.ndarray] = []
     z = coarse_zoom
     while frontier.size:
         full, inter = _classify_tiles(frontier, ring)
         if z == zoom:
-            out.append(frontier[inter])
+            final = frontier[inter]
+            out.append(final)
+            out_interior.append(full[inter])  # fine tiles can still be fully inside
             break
-        out.append(frontier[full])
+        emitted = frontier[full]
+        out.append(emitted)
+        out_interior.append(np.ones(emitted.shape[0], dtype=bool))
         boundary = frontier[inter & ~full]
         if boundary.size == 0:
             break
@@ -344,8 +350,17 @@ def polygon_to_cells_adaptive(
         frontier = pack_cell(z + 1, cx.ravel(), cy.ravel())
         z += 1
     if not out:
-        return np.empty(0, dtype=np.int64)
-    return np.sort(np.concatenate(out))
+        cells_out = np.empty(0, dtype=np.int64)
+        interior = np.empty(0, dtype=bool)
+    else:
+        cells_out = np.concatenate(out)
+        interior = np.concatenate(out_interior)
+        order = np.argsort(cells_out)
+        cells_out = cells_out[order]
+        interior = interior[order]
+    if return_interior:
+        return cells_out, interior
+    return cells_out
 
 
 def compact_cells(cells: np.ndarray) -> np.ndarray:

@@ -43,7 +43,9 @@ from geojson_utility_spark.functions import geometry as G
 from geojson_utility_spark.functions import pip as P
 from geojson_utility_spark.functions.spark_geo import cell_expr, cell_parent_expr
 
-DEFAULT_JOIN_ZOOM = 13  # ≈ H3 res 7 tile size (~5 km); SURVEY.md §2.3
+DEFAULT_JOIN_ZOOM = 16  # finest boundary-cell zoom (~600 m tiles ≈ H3 res 9).
+# Interior cells stay coarse (adaptive cover), so a fine max zoom shrinks the
+# boundary band that needs Python ray-casting ~4x per level at O(perimeter) cover cost.
 
 POLYGON_NORM_SCHEMA = T.StructType(
     [
@@ -60,6 +62,7 @@ COVER_SCHEMA = T.StructType(
         T.StructField("polygon_id", T.StringType()),
         T.StructField("cell", T.LongType()),
         T.StructField("cell_zoom", T.IntegerType()),
+        T.StructField("interior", T.BooleanType()),
         T.StructField("ring_json", T.StringType()),
     ]
 )
@@ -116,26 +119,46 @@ def polygon_cover(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_pid, out_cell, out_zoom, out_ring = [], [], [], []
+            out_pid, out_cell, out_zoom, out_int, out_ring = [], [], [], [], []
             for pid, rj in zip(pdf["polygon_id"], pdf["ring_json"]):
                 if rj is None:
                     continue
                 ring = np.asarray(json.loads(rj), dtype=np.float64)
                 # adaptive quadtree descent: O(perimeter) work per level, emits an
                 # already-compacted multi-zoom cover (oversized polygons stay cheap)
-                cover = C.polygon_to_cells_adaptive(ring, zoom)
+                # with per-cell interior/boundary classification
+                cover, interior = C.polygon_to_cells_adaptive(
+                    ring, zoom, return_interior=True
+                )
                 if not compact:
-                    cover = C.uncompact_cells(cover, zoom)
+                    parts = [
+                        (C.cell_to_children(int(c), zoom), bool(i))
+                        for c, i in zip(cover.tolist(), interior.tolist())
+                    ]
+                    cover = (
+                        np.concatenate([p[0] for p in parts])
+                        if parts
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    interior = (
+                        np.concatenate(
+                            [np.full(len(p[0]), p[1], dtype=bool) for p in parts]
+                        )
+                        if parts
+                        else np.empty(0, dtype=bool)
+                    )
                 zs = C.unpack_cell(cover)[0]
                 out_pid.extend([pid] * len(cover))
                 out_cell.extend(cover.tolist())
                 out_zoom.extend(zs.tolist())
+                out_int.extend(interior.tolist())
                 out_ring.extend([rj] * len(cover))
             yield pd.DataFrame(
                 {
                     "polygon_id": out_pid,
                     "cell": pd.array(out_cell, dtype="int64"),
                     "cell_zoom": pd.array(out_zoom, dtype="int32"),
+                    "interior": pd.array(out_int, dtype="bool"),
                     "ring_json": out_ring,
                 }
             )
@@ -211,8 +234,25 @@ def spatial_join(
         *[cell_parent_expr(F.col("_cell_fine"), z, zoom) for z in zooms]
     )
     probe = fine.withColumn("_cell", F.explode(ancestors)).drop("_cell_fine")
+    # interior/boundary split: a point in a FULLY-INSIDE cover cell is a match with no
+    # refinement — it never crosses the Python boundary (which costs ~5 µs/row of core
+    # time in Spark's row<->Arrow machinery and would otherwise dominate the join);
+    # only boundary-cell candidates — O(perimeter), a small fraction — get ray-cast.
+    interior_matches = probe.join(
+        F.broadcast(
+            cover.filter(F.col("interior")).select(
+                "polygon_id", F.col("cell").alias("_cell")
+            )
+        ),
+        "_cell",
+        "inner",
+    ).select("point_id", "lat", "lon", "polygon_id")
     candidates = probe.join(
-        F.broadcast(cover.select("polygon_id", F.col("cell").alias("_cell"))),
+        F.broadcast(
+            cover.filter(~F.col("interior")).select(
+                "polygon_id", F.col("cell").alias("_cell")
+            )
+        ),
         "_cell",
         "inner",
     ).select("point_id", "lat", "lon", "polygon_id")
@@ -253,6 +293,14 @@ def spatial_join(
                 codes = enc.indices.to_numpy(zero_copy_only=False)
                 uniques = enc.dictionary.to_pylist()
                 keep = np.zeros(n, dtype=bool)
+                # one argsort groups all rows by polygon — NOT a codes==gi scan per
+                # polygon (that is U full-array passes per batch and dominates runtime
+                # when hundreds of polygons are present in every batch)
+                order = np.argsort(codes, kind="stable")
+                sorted_codes = codes[order]
+                bounds = np.searchsorted(
+                    sorted_codes, np.arange(len(uniques) + 1)
+                )
                 for gi, pid in enumerate(uniques):
                     ring = rings.get(pid)
                     if ring is None:
@@ -260,7 +308,9 @@ def spatial_join(
                     kern = kernels.get(pid)
                     if kern is None:
                         kern = kernels[pid] = P.RingKernel(ring)
-                    idx = np.nonzero(codes == gi)[0]
+                    idx = order[bounds[gi] : bounds[gi + 1]]
+                    if idx.size == 0:
+                        continue
                     ins, edg = kern.test_block(lon[idx], lat[idx])
                     keep[idx] = ins | edg
                 yield batch.filter(pa.array(keep))
@@ -288,12 +338,15 @@ def spatial_join(
     else:
         raise ValueError(f"unsupported refine={refine!r}")
 
+    # cover cells are disjoint, so interior and boundary matches cannot overlap
+    matches = interior_matches.unionByName(refined)
+
     if how == "inner":
-        return refined
+        return matches
     if how == "left_semi":
-        return pts.join(refined.select("point_id").distinct(), "point_id", "left_semi")
+        return pts.join(matches.select("point_id").distinct(), "point_id", "left_semi")
     if how == "left_anti":
-        return pts.join(refined.select("point_id").distinct(), "point_id", "left_anti")
+        return pts.join(matches.select("point_id").distinct(), "point_id", "left_anti")
     raise ValueError(f"unsupported how={how!r}")
 
 

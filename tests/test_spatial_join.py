@@ -108,7 +108,7 @@ def test_cover_is_superset_of_point_cells(spark, data):
 def test_cell_heat_stats(spark, data):
     pts, _ = data
     pts_df = spark.createDataFrame(pts)
-    heat = SJ.cell_heat_stats(pts_df).orderBy(F.desc("n_points")).toPandas()
+    heat = SJ.cell_heat_stats(pts_df, zoom=13).orderBy(F.desc("n_points")).toPandas()
     assert heat["n_points"].sum() == len(pts)
     # skew present: hottest cell should hold many points (Delhi blob)
     assert heat["n_points"].iloc[0] > len(pts) * 0.01
