@@ -63,7 +63,6 @@ COVER_SCHEMA = T.StructType(
         T.StructField("cell", T.LongType()),
         T.StructField("cell_zoom", T.IntegerType()),
         T.StructField("interior", T.BooleanType()),
-        T.StructField("ring_json", T.StringType()),
     ]
 )
 
@@ -119,7 +118,7 @@ def polygon_cover(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_pid, out_cell, out_zoom, out_int, out_ring = [], [], [], [], []
+            out_pid, out_cell, out_zoom, out_int = [], [], [], []
             for pid, rj in zip(pdf["polygon_id"], pdf["ring_json"]):
                 if rj is None:
                     continue
@@ -152,14 +151,12 @@ def polygon_cover(
                 out_cell.extend(cover.tolist())
                 out_zoom.extend(zs.tolist())
                 out_int.extend(interior.tolist())
-                out_ring.extend([rj] * len(cover))
             yield pd.DataFrame(
                 {
                     "polygon_id": out_pid,
                     "cell": pd.array(out_cell, dtype="int64"),
                     "cell_zoom": pd.array(out_zoom, dtype="int32"),
                     "interior": pd.array(out_int, dtype="bool"),
-                    "ring_json": out_ring,
                 }
             )
 
@@ -261,7 +258,58 @@ def spatial_join(
     pid_type = dict(pts.dtypes)["point_id"]
     result_schema = f"point_id {pid_type}, lat double, lon double, polygon_id string"
 
-    if refine == "broadcast":
+    if refine == "expr":
+        # pure-Catalyst refine: ray cast as an aggregate expression over the ring
+        # array (boundary-inclusive, same semantics as functions/pip.py).  No Python
+        # boundary at all — in local mode the Arrow handoff costs a JVM feeder thread
+        # PLUS a Python worker per task (2 CPU-bound threads/core -> negative scaling
+        # past N/2 cores); expression refine keeps every core on one JVM thread.
+        rings_arr = norm.filter(F.col("poly_errors") == "").select(
+            "polygon_id",
+            F.from_json("ring_json", "array<array<double>>").alias("_ring"),
+        )
+        cand_r = candidates.join(F.broadcast(rings_arr), "polygon_id")
+        ring = F.col("_ring")
+        px, py = F.col("lon"), F.col("lat")
+        nv = F.size(ring)
+
+        def vx(i):
+            return F.element_at(F.element_at(ring, i), 1)
+
+        def vy(i):
+            return F.element_at(F.element_at(ring, i), 2)
+
+        edge_ids = F.sequence(F.lit(1), nv - 1)
+        crossings = F.aggregate(
+            edge_ids,
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                ((vy(i) <= py) != (vy(i + 1) <= py))
+                & (
+                    px
+                    < vx(i)
+                    + (py - vy(i)) * (vx(i + 1) - vx(i)) / (vy(i + 1) - vy(i))
+                ),
+                1,
+            ).otherwise(0),
+        )
+        on_edge = F.exists(
+            edge_ids,
+            lambda i: (
+                (vx(i + 1) - vx(i)) * (py - vy(i))
+                - (vy(i + 1) - vy(i)) * (px - vx(i))
+                == 0
+            )
+            & (px >= F.least(vx(i), vx(i + 1)))
+            & (px <= F.greatest(vx(i), vx(i + 1)))
+            & (py >= F.least(vy(i), vy(i + 1)))
+            & (py <= F.greatest(vy(i), vy(i + 1))),
+        )
+        refined = cand_r.filter((crossings % 2 == 1) | on_edge).select(
+            "point_id", "lat", "lon", "polygon_id"
+        )
+    elif refine == "broadcast":
         # map-only refine: all normalized rings broadcast once per executor; each
         # Arrow batch is grouped locally by polygon_id and ray-cast per group.
         # No shuffle, no sort, no skew — candidate rows never leave their partition.

@@ -34,7 +34,7 @@ spark = get_spark(app_name=f"scale_{{cores}}", master=f"local[{{cores}}]",
 polys_pdf = FX.make_polygons(120)[["polygon_id", "geojson"]]
 pts_path = f"/tmp/scaling_points_{{n_points}}.parquet"
 if not os.path.exists(pts_path + "/_SUCCESS"):
-    FX.image_point_df(spark, n_points).repartition(64).write.mode("overwrite").parquet(pts_path)
+    FX.image_point_df(spark, n_points).repartition(256).write.mode("overwrite").parquet(pts_path)
 pts = spark.read.parquet(pts_path)
 polys = spark.createDataFrame(polys_pdf)
 # warm the page cache: the timed section measures compute scaling, not cold disk I/O
@@ -42,9 +42,9 @@ polys = spark.createDataFrame(polys_pdf)
 from pyspark.sql import functions as SF
 pts.agg(SF.sum("lat"), SF.sum("lon"), SF.count("point_id")).collect()
 # warmup (JIT, code paths)
-spatial_join(pts.limit(50000), polys, compact=True, salt=8).count()
+spatial_join(pts.limit(50000), polys, zoom=17, compact=False).count()
 t0 = time.perf_counter()
-n = spatial_join(pts, polys, compact=True, salt=8).count()
+n = spatial_join(pts, polys, zoom=17, compact=False).count()
 dt = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "sec": dt, "matches": n,
                    "rows_per_sec": n_points / dt}}))
@@ -65,8 +65,8 @@ def run_level(cores: int, n_points: int) -> dict:
 
 
 def main():
-    n_points = int(os.environ.get("SCALING_POINTS", "8000000"))
-    n_small = int(os.environ.get("SCALING_N", "8"))
+    n_points = int(os.environ.get("SCALING_POINTS", "384000000"))
+    n_small = int(os.environ.get("SCALING_N", "4"))
     r_small = run_level(n_small, n_points)
     r_big = run_level(n_small * 4, n_points)
     eff = (r_big["rows_per_sec"] / r_small["rows_per_sec"]) / 4.0
@@ -84,7 +84,7 @@ def main():
         f.write(
             f"\n## Scaling proof ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"Identical flagship spatial-join job ({n_points:,} points x 120 polygons, "
-            f"compacted cover, salt=8) at two parallelism levels:\n\n"
+            f"uncompacted z17 cover, interior split) at two parallelism levels:\n\n"
             f"| level | wall sec | matches | rows/sec |\n|---|---|---|---|\n"
             f"| local[{r_small['cores']}] | {r_small['sec']:.2f} | "
             f"{r_small['matches']} | {r_small['rows_per_sec']:.0f} |\n"

@@ -46,8 +46,10 @@ def oracle_pairs(data):
     [
         (False, 1, "broadcast"),
         (False, 8, "cogroup"),
+        (False, 8, "expr"),
         (True, 8, "broadcast"),
         (True, 8, "cogroup"),
+        (True, 8, "expr"),
     ],
 )
 def test_spatial_join_matches_oracle(spark, data, oracle_pairs, compact, salt, refine):
