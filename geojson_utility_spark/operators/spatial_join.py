@@ -7,24 +7,28 @@ fetches one polygon per point over HTTPS; we invert it into a set-oriented join)
 Physical plan, designed for 10^12 points vs ~10^5 polygons:
 
 1. **Polygon side (small)**: parse + validate + normalize each GeoJSON document in
-   ``mapInPandas`` batches; cover each polygon with index cells at a fixed join zoom
-   (conservative covering — superset, no false negatives); optionally compact the cover
-   to mixed zooms to bound cover size for oversized polygons.
+   ``mapInPandas`` batches; cover each polygon via ADAPTIVE QUADTREE DESCENT —
+   O(perimeter) tiles per level, every cell classified interior vs boundary
+   (conservative covering — superset, no false negatives).
 2. **Point side (huge)**: cell assignment is a pure Catalyst expression
    (functions/spark_geo.py) — stays inside whole-stage codegen, columns pruned to
-   (id, lat, lon), predicate pushdown unaffected.
-3. **Candidate join**: ``points.join(broadcast(cover), 'cell')`` — broadcast hash join,
-   ZERO shuffle of the trillion-row side.  With a compacted cover the point side probes
-   once per distinct cover zoom (ancestor cells derived by bit-shift expressions, still
-   no UDF).
-4. **Refine**: candidates grouped per polygon; vectorized numpy ray-cast PIP inside
-   ``applyInPandas`` (Arrow batches).  Optional salting splits hot polygons (urban
-   covers) across ``salt`` tasks — the known-a-priori skew killer; AQE skew-join is the
-   runtime fallback (SURVEY.md §4).
+   (id, lat, lon), predicate pushdown unaffected.  With a compacted (multi-zoom)
+   cover, ancestors come from bit-shift expressions + one posexplode; with an
+   uncompacted cover the point table is scanned exactly ONCE with a single probe.
+3. **Candidate join**: ``points.join(broadcast(cover), 'cell')`` — broadcast hash
+   join, ZERO shuffle of the trillion-row side.
+4. **Interior short-circuit**: points landing in fully-interior cover cells are
+   matches with NO refinement and never cross the Python boundary (which costs a JVM
+   feeder thread + a Python worker per task — the scarcest resource of the join).
+   Only the O(perimeter) boundary band is refined.
+5. **Refine** (three strategies, see ``spatial_join``):
+   'broadcast' (default) — rings broadcast, zero-shuffle ``mapInArrow`` ray cast over
+   cache-blocked numpy kernels; 'cogroup' — salted shuffle for unbroadcastable polygon
+   sets (SURVEY.md §4 skew treatment); 'expr' — pure-Catalyst aggregate expression
+   (no Python at all; slower per row, useful when Python workers are unavailable).
 
-At 1000 executors: stage 2-3 is map-only; the only shuffle is the refine exchange of
-*candidates* (points that hit a cover cell), hash-partitioned by (polygon_id, salt) —
-orders of magnitude smaller than the input, and balanced by construction.
+At 1000 executors: everything through refine is map-only — the join's only exchanges
+hash-partition the tiny polygon side.
 """
 
 from __future__ import annotations
