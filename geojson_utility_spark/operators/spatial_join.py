@@ -177,12 +177,12 @@ def _refine_cogroup(cand: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
     semantics (boundary-inclusive).  ``cand`` holds the candidate points, ``rings``
     exactly one replicated ring row."""
     if cand.empty or rings.empty:
-        return pd.DataFrame({"point_id": [], "lat": [], "lon": [], "polygon_id": []})
+        return pd.DataFrame({"point_id": [], "lat": [], "lon": [], "poly_idx": []})
     ring = np.asarray(json.loads(rings["ring_json"].iloc[0]), dtype=np.float64)
     inside = P.points_in_polygon(
         cand["lon"].to_numpy(np.float64), cand["lat"].to_numpy(np.float64), [ring]
     )
-    return cand.loc[inside, ["point_id", "lat", "lon", "polygon_id"]]
+    return cand.loc[inside, ["point_id", "lat", "lon", "poly_idx"]]
 
 
 def spatial_join(
@@ -235,32 +235,54 @@ def spatial_join(
         *[cell_parent_expr(F.col("_cell_fine"), z, zoom) for z in zooms]
     )
     probe = fine.withColumn("_cell", F.explode(ancestors)).drop("_cell_fine")
+
+    # dense integer polygon surrogate: candidate rows carry a 4-byte poly_idx instead
+    # of the polygon_id string — string columns double the per-row cost of the Python
+    # handoff; ids are re-attached JVM-side from a tiny broadcast map at the end.
+    pid_rows = sorted(
+        r["polygon_id"]
+        for r in norm.filter(F.col("poly_errors") == "")
+        .select("polygon_id")
+        .distinct()
+        .collect()
+    )
+    idx_of = {pid: i for i, pid in enumerate(pid_rows)}
+    pid_map = spark.createDataFrame(
+        [(i, pid) for i, pid in enumerate(pid_rows)], ["poly_idx", "polygon_id"]
+    )
+    cover_idx = cover.join(F.broadcast(pid_map), "polygon_id").select(
+        F.col("poly_idx").cast("int").alias("poly_idx"),
+        "cell",
+        "cell_zoom",
+        "interior",
+    ).cache()
+
     # interior/boundary split: a point in a FULLY-INSIDE cover cell is a match with no
     # refinement — it never crosses the Python boundary (which costs ~5 µs/row of core
     # time in Spark's row<->Arrow machinery and would otherwise dominate the join);
     # only boundary-cell candidates — O(perimeter), a small fraction — get ray-cast.
     interior_matches = probe.join(
         F.broadcast(
-            cover.filter(F.col("interior")).select(
-                "polygon_id", F.col("cell").alias("_cell")
+            cover_idx.filter(F.col("interior")).select(
+                "poly_idx", F.col("cell").alias("_cell")
             )
         ),
         "_cell",
         "inner",
-    ).select("point_id", "lat", "lon", "polygon_id")
+    ).select("point_id", "lat", "lon", "poly_idx")
     candidates = probe.join(
         F.broadcast(
-            cover.filter(~F.col("interior")).select(
-                "polygon_id", F.col("cell").alias("_cell")
+            cover_idx.filter(~F.col("interior")).select(
+                "poly_idx", F.col("cell").alias("_cell")
             )
         ),
         "_cell",
         "inner",
-    ).select("point_id", "lat", "lon", "polygon_id")
+    ).select("point_id", "lat", "lon", "poly_idx")
 
     # result schema tracks the caller's point-id type (string/bigint/...)
     pid_type = dict(pts.dtypes)["point_id"]
-    result_schema = f"point_id {pid_type}, lat double, lon double, polygon_id string"
+    result_schema = f"point_id {pid_type}, lat double, lon double, poly_idx int"
 
     if refine == "expr":
         # pure-Catalyst refine: ray cast as an aggregate expression over the ring
@@ -268,11 +290,15 @@ def spatial_join(
         # boundary at all — in local mode the Arrow handoff costs a JVM feeder thread
         # PLUS a Python worker per task (2 CPU-bound threads/core -> negative scaling
         # past N/2 cores); expression refine keeps every core on one JVM thread.
-        rings_arr = norm.filter(F.col("poly_errors") == "").select(
-            "polygon_id",
-            F.from_json("ring_json", "array<array<double>>").alias("_ring"),
+        rings_arr = (
+            norm.filter(F.col("poly_errors") == "")
+            .join(F.broadcast(pid_map), "polygon_id")
+            .select(
+                F.col("poly_idx").cast("int").alias("poly_idx"),
+                F.from_json("ring_json", "array<array<double>>").alias("_ring"),
+            )
         )
-        cand_r = candidates.join(F.broadcast(rings_arr), "polygon_id")
+        cand_r = candidates.join(F.broadcast(rings_arr), "poly_idx")
         ring = F.col("_ring")
         px, py = F.col("lon"), F.col("lat")
         nv = F.size(ring)
@@ -311,7 +337,7 @@ def spatial_join(
             & (py <= F.greatest(vy(i), vy(i + 1))),
         )
         refined = cand_r.filter((crossings % 2 == 1) | on_edge).select(
-            "point_id", "lat", "lon", "polygon_id"
+            "point_id", "lat", "lon", "poly_idx"
         )
     elif refine == "broadcast":
         # map-only refine: all normalized rings broadcast once per executor; each
@@ -321,48 +347,45 @@ def spatial_join(
         # conversion materializes billions of Python string objects (id columns) and
         # becomes the memory-bandwidth ceiling of the whole join; in Arrow the ids
         # stay in columnar buffers and only lat/lon are viewed as numpy.
-        rings_map = {
-            r["polygon_id"]: np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
-            for r in norm.filter(F.col("poly_errors") == "")
+        rings_list = [None] * len(pid_rows)
+        for r in (
+            norm.filter(F.col("poly_errors") == "")
             .select("polygon_id", "ring_json")
             .collect()
-        }
-        bc_rings = spark.sparkContext.broadcast(rings_map)
+        ):
+            rings_list[idx_of[r["polygon_id"]]] = np.asarray(
+                json.loads(r["ring_json"]), dtype=np.float64
+            )
+        bc_rings = spark.sparkContext.broadcast(rings_list)
 
         def refine_arrow(it):
             import pyarrow as pa
-            import pyarrow.compute as pc
 
             rings = bc_rings.value
-            kernels: dict[str, object] = {}
+            kernels: dict[int, object] = {}
             for batch in it:
                 n = batch.num_rows
                 if n == 0:
                     continue
                 lon = batch.column("lon").to_numpy(zero_copy_only=False)
                 lat = batch.column("lat").to_numpy(zero_copy_only=False)
-                enc = pc.dictionary_encode(batch.column("polygon_id"))
-                codes = enc.indices.to_numpy(zero_copy_only=False)
-                uniques = enc.dictionary.to_pylist()
+                codes = batch.column("poly_idx").to_numpy(zero_copy_only=False)
                 keep = np.zeros(n, dtype=bool)
                 # one argsort groups all rows by polygon — NOT a codes==gi scan per
                 # polygon (that is U full-array passes per batch and dominates runtime
                 # when hundreds of polygons are present in every batch)
                 order = np.argsort(codes, kind="stable")
                 sorted_codes = codes[order]
-                bounds = np.searchsorted(
-                    sorted_codes, np.arange(len(uniques) + 1)
-                )
-                for gi, pid in enumerate(uniques):
-                    ring = rings.get(pid)
+                uniq, starts = np.unique(sorted_codes, return_index=True)
+                ends = np.append(starts[1:], n)
+                for k, gi in enumerate(uniq.tolist()):
+                    ring = rings[gi]
                     if ring is None:
                         continue
-                    kern = kernels.get(pid)
+                    kern = kernels.get(gi)
                     if kern is None:
-                        kern = kernels[pid] = P.RingKernel(ring)
-                    idx = order[bounds[gi] : bounds[gi + 1]]
-                    if idx.size == 0:
-                        continue
+                        kern = kernels[gi] = P.RingKernel(ring)
+                    idx = order[starts[k] : ends[k]]
                     ins, edg = kern.test_block(lon[idx], lat[idx])
                     keep[idx] = ins | edg
                 yield batch.filter(pa.array(keep))
@@ -377,21 +400,29 @@ def spatial_join(
             "_salt",
             F.pmod(F.xxhash64(F.col("point_id").cast("string")), F.lit(n_salt)),
         )
-        rings_salted = norm.filter(F.col("poly_errors") == "").select(
-            "polygon_id", "ring_json"
-        ).crossJoin(
-            spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+        rings_salted = (
+            norm.filter(F.col("poly_errors") == "")
+            .join(F.broadcast(pid_map), "polygon_id")
+            .select(F.col("poly_idx").cast("int").alias("poly_idx"), "ring_json")
+            .crossJoin(
+                spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
+            )
         )
         refined = (
-            salted.groupBy("polygon_id", "_salt")
-            .cogroup(rings_salted.groupBy("polygon_id", "_salt"))
+            salted.groupBy("poly_idx", "_salt")
+            .cogroup(rings_salted.groupBy("poly_idx", "_salt"))
             .applyInPandas(_refine_cogroup, result_schema)
         )
     else:
         raise ValueError(f"unsupported refine={refine!r}")
 
-    # cover cells are disjoint, so interior and boundary matches cannot overlap
-    matches = interior_matches.unionByName(refined)
+    # cover cells are disjoint, so interior and boundary matches cannot overlap;
+    # polygon_id strings re-attach here, JVM-side, from the tiny broadcast map
+    matches = (
+        interior_matches.unionByName(refined)
+        .join(F.broadcast(pid_map), "poly_idx")
+        .select("point_id", "lat", "lon", "polygon_id")
+    )
 
     if how == "inner":
         return matches
