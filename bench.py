@@ -59,7 +59,7 @@ def bench_queries(spark):
     def flagship():
         pts = spark.read.parquet(pts_path)
         polys = spark.createDataFrame(polys_pdf)
-        return spatial_join(pts, polys, compact=True, salt=8)
+        return spatial_join(pts, polys)
 
     def knn():
         pts = spark.read.parquet(pts_path).limit(100_000)
@@ -107,6 +107,10 @@ def bench_queries(spark):
 def main():
     spark = build_session()
     qs, n_points = bench_queries(spark)
+    # untimed warmup: JVM/JIT, Arrow codepaths, page cache — the timed loop measures
+    # steady-state query cost, not first-query startup
+    qs["flagship_spatial_join"]().limit(1000).count()
+    qs["q1_pricing_summary"]().count()
     times: dict[str, float] = {}
     join_rows = 0
     for name, fn in qs.items():
