@@ -210,8 +210,12 @@ def spatial_join(
         The fallback when the polygon table itself is too large to broadcast.
     """
     spark = points.sparkSession
+    # lat/lon normalized to double at the boundary (SQL-derived inputs may arrive as
+    # DECIMAL; every kernel and the result schema assume float64)
     pts = points.select(
-        F.col(point_id).alias("point_id"), "lat", "lon"
+        F.col(point_id).alias("point_id"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lon").cast("double").alias("lon"),
     )
     # polygon side is small: cache so normalize+cover run once, not once per zoom probe
     norm = normalize_polygons(polygons).cache()
@@ -367,8 +371,14 @@ def spatial_join(
                 n = batch.num_rows
                 if n == 0:
                     continue
-                lon = batch.column("lon").to_numpy(zero_copy_only=False)
-                lat = batch.column("lat").to_numpy(zero_copy_only=False)
+                # asarray(float64): decimal-typed lat/lon (e.g. SQL-derived) arrive
+                # as object arrays of Decimal — coerce before the numpy kernel
+                lon = np.asarray(
+                    batch.column("lon").to_numpy(zero_copy_only=False), dtype=np.float64
+                )
+                lat = np.asarray(
+                    batch.column("lat").to_numpy(zero_copy_only=False), dtype=np.float64
+                )
                 codes = batch.column("poly_idx").to_numpy(zero_copy_only=False)
                 keep = np.zeros(n, dtype=bool)
                 # one argsort groups all rows by polygon — NOT a codes==gi scan per
