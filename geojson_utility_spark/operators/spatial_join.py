@@ -111,13 +111,19 @@ def normalize_polygons(polygons: DataFrame) -> DataFrame:
 
 
 def polygon_cover(
-    polygons: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM, compact: bool = False
+    polygons: DataFrame,
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    compact: bool = False,
+    min_zoom: int | None = None,
 ) -> DataFrame:
-    """(polygon_id, cell, cell_zoom, ring_json) covering rows for valid polygons.
+    """(polygon_id, cell, cell_zoom, interior) covering rows for valid polygons.
 
-    ``compact=True`` merges complete sibling sets to coarser cells — bounds the cover
-    size of oversized polygons (the reference's 150km catchments) at the cost of
-    multi-probe on the point side.
+    ``compact=True`` keeps the multi-zoom adaptive cover (bounds cover size for
+    oversized polygons, point side multi-probes per zoom); ``compact=False`` expands
+    everything to ``zoom`` (single probe, bigger broadcast).  ``min_zoom`` (with
+    compact=True) partially uncompacts: cells coarser than min_zoom expand to
+    min_zoom, capping the number of probe levels at ``zoom - min_zoom + 1`` while the
+    boundary band stays at the fine ``zoom``.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,23 +139,24 @@ def polygon_cover(
                 cover, interior = C.polygon_to_cells_adaptive(
                     ring, zoom, return_interior=True
                 )
-                if not compact:
-                    parts = [
-                        (C.cell_to_children(int(c), zoom), bool(i))
-                        for c, i in zip(cover.tolist(), interior.tolist())
-                    ]
-                    cover = (
-                        np.concatenate([p[0] for p in parts])
-                        if parts
-                        else np.empty(0, dtype=np.int64)
-                    )
-                    interior = (
-                        np.concatenate(
-                            [np.full(len(p[0]), p[1], dtype=bool) for p in parts]
+                expand_to = zoom if not compact else min_zoom
+                if expand_to is not None:
+                    zs0 = C.unpack_cell(cover)[0]
+                    coarse = zs0 < expand_to
+                    if coarse.any():
+                        parts = [
+                            (C.cell_to_children(int(c), expand_to), bool(i))
+                            for c, i in zip(
+                                cover[coarse].tolist(), interior[coarse].tolist()
+                            )
+                        ]
+                        cover = np.concatenate(
+                            [cover[~coarse]] + [p[0] for p in parts]
                         )
-                        if parts
-                        else np.empty(0, dtype=bool)
-                    )
+                        interior = np.concatenate(
+                            [interior[~coarse]]
+                            + [np.full(len(p[0]), p[1], dtype=bool) for p in parts]
+                        )
                 zs = C.unpack_cell(cover)[0]
                 out_pid.extend([pid] * len(cover))
                 out_cell.extend(cover.tolist())
@@ -194,6 +201,7 @@ def spatial_join(
     point_id: str = "point_id",
     how: str = "inner",
     refine: str = "broadcast",
+    min_zoom: int | None = None,
 ) -> DataFrame:
     """points(point_id, lat, lon) ⋈ polygons(polygon_id, geojson) on containment.
 
@@ -219,7 +227,7 @@ def spatial_join(
     )
     # polygon side is small: cache so normalize+cover run once, not once per zoom probe
     norm = normalize_polygons(polygons).cache()
-    cover = polygon_cover(norm, zoom=zoom, compact=compact).cache()
+    cover = polygon_cover(norm, zoom=zoom, compact=compact, min_zoom=min_zoom).cache()
 
     if compact:
         # distinct zooms present in the compacted cover (small driver-side list)

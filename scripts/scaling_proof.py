@@ -42,9 +42,9 @@ polys = spark.createDataFrame(polys_pdf)
 from pyspark.sql import functions as SF
 pts.agg(SF.sum("lat"), SF.sum("lon"), SF.count("point_id")).collect()
 # warmup (JIT, code paths)
-spatial_join(pts.limit(50000), polys, zoom=17, compact=False).count()
+spatial_join(pts.limit(50000), polys, zoom=19, compact=True, min_zoom=17).count()
 t0 = time.perf_counter()
-n = spatial_join(pts, polys, zoom=17, compact=False).count()
+n = spatial_join(pts, polys, zoom=19, compact=True, min_zoom=17).count()
 dt = time.perf_counter() - t0
 print(json.dumps({{"cores": cores, "sec": dt, "matches": n,
                    "rows_per_sec": n_points / dt}}))
@@ -84,7 +84,7 @@ def main():
         f.write(
             f"\n## Scaling proof ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"Identical flagship spatial-join job ({n_points:,} points x 120 polygons, "
-            f"uncompacted z17 cover, interior split) at two parallelism levels:\n\n"
+            f"z19 boundary band, interior cells at z17+ (compact cover, min_zoom=17)) at two parallelism levels:\n\n"
             f"| level | wall sec | matches | rows/sec |\n|---|---|---|---|\n"
             f"| local[{r_small['cores']}] | {r_small['sec']:.2f} | "
             f"{r_small['matches']} | {r_small['rows_per_sec']:.0f} |\n"
