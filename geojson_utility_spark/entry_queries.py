@@ -362,7 +362,8 @@ def q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     pts = spark.sql(PTS_CUSTOMER)
     tgt = spark.sql(TGT_SUPPLIER)
-    return knn_join(pts, tgt, k=3, zoom=7, max_radius=32).select(
+    return knn_join(pts, tgt, k=3, zoom=7, max_radius=32,
+                    brute_force_threshold=0).select(
         "point_id", "target_id", "knn_rank"
     )
 

@@ -81,6 +81,7 @@ def knn_join(
     max_radius: int = 32,
     point_id: str = "point_id",
     target_id: str = "target_id",
+    brute_force_threshold: int = 300,
 ) -> DataFrame:
     """points(point_id, lat, lon) x targets(target_id, lat, lon)
     -> (point_id, target_id, dist_km, knn_rank), knn_rank in 1..k by haversine. EXACT.
@@ -96,6 +97,17 @@ def knn_join(
     brute-force join against the full (small) target table, so the result matches the
     brute-force oracle for every point.
     """
+    # optimizer rule (the broadcast-threshold analog): with a small target set the
+    # grid escalation's per-round jobs cost more than one broadcast cross join +
+    # window — brute force IS the optimal plan below a few hundred targets
+    if (
+        brute_force_threshold > 0
+        and targets.limit(brute_force_threshold + 1).count() <= brute_force_threshold
+    ):
+        return knn_brute_force(
+            points, targets, k=k, point_id=point_id, target_id=target_id
+        )
+
     pts = points.select(
         F.col(point_id).alias("point_id"),
         F.col("lat").alias("p_lat"),

@@ -27,7 +27,7 @@ def knn_data(spark):
 def test_knn_matches_brute_force(spark, knn_data):
     pts_df, tgt_df = knn_data
     k = 3
-    got = K.knn_join(pts_df, tgt_df, k=k).toPandas()
+    got = K.knn_join(pts_df, tgt_df, k=k, brute_force_threshold=0).toPandas()
     want = K.knn_brute_force(pts_df, tgt_df, k=k).toPandas()
     got_m = {(r.point_id, r.knn_rank): r.target_id for r in got.itertuples()}
     want_m = {(r.point_id, r.knn_rank): r.target_id for r in want.itertuples()}
@@ -40,7 +40,7 @@ def test_knn_k1_and_large_k(spark, knn_data):
     pts_df, tgt_df = knn_data
     pts_small = pts_df.limit(100)
     for k in (1, 10):
-        got = K.knn_join(pts_small, tgt_df, k=k).toPandas()
+        got = K.knn_join(pts_small, tgt_df, k=k, brute_force_threshold=0).toPandas()
         want = K.knn_brute_force(pts_small, tgt_df, k=k).toPandas()
         m_g = {(r.point_id, r.knn_rank): r.target_id for r in got.itertuples()}
         m_w = {(r.point_id, r.knn_rank): r.target_id for r in want.itertuples()}
