@@ -62,7 +62,11 @@ def bench_queries(spark):
         return spatial_join(pts, polys)
 
     def knn():
-        pts = spark.read.parquet(pts_path).limit(100_000)
+        # filter, NOT limit: a global LIMIT coalesces to one partition and
+        # serializes the whole downstream join
+        pts = spark.read.parquet(pts_path).filter(
+            F.col("point_id") < "img_000000100000"
+        )
         tgt = spark.createDataFrame(
             FX.make_polygons(120)[["polygon_id", "centroid_lat", "centroid_lon"]].rename(
                 columns={"polygon_id": "target_id", "centroid_lat": "lat",
