@@ -74,6 +74,31 @@ HAVERSINE = (
 # convex CCW quadrilateral for the PIP oracle (lon, lat)
 CONVEX_RING = [(0.0, 0.0), (40.0, 10.0), (50.0, 50.0), (-10.0, 40.0), (0.0, 0.0)]
 
+# flagship point cloud: image-row point derivation with the fixture hotspot mixture
+# (fixtures.HOTSPOTS) expressed in PURE RATIONAL arithmetic — integer hashing plus
+# +,-,*,/ only, which are IEEE-exact and bit-identical across Spark and DuckDB
+# (transcendentals sin/cos/log are NOT: libm vs StrictMath differ in ULPs).
+# Square blobs around the four urban hot spots preserve the cell-level skew the join
+# is designed for; the background is uniform over the India-ish bbox.
+PTS_IMAGES = (
+    "SELECT point_id, "
+    "CASE WHEN usel < 0.30 THEN 28.6139 + (u1 - 0.5) * 0.25 "
+    "WHEN usel < 0.55 THEN 19.0760 + (u1 - 0.5) * 0.25 "
+    "WHEN usel < 0.70 THEN 12.9716 + (u1 - 0.5) * 0.25 "
+    "WHEN usel < 0.80 THEN 13.0827 + (u1 - 0.5) * 0.25 "
+    "ELSE 8.0 + u1 * 26.0 END AS lat, "
+    "CASE WHEN usel < 0.30 THEN 77.2090 + (u2 - 0.5) * 0.25 "
+    "WHEN usel < 0.55 THEN 72.8777 + (u2 - 0.5) * 0.25 "
+    "WHEN usel < 0.70 THEN 77.5946 + (u2 - 0.5) * 0.25 "
+    "WHEN usel < 0.80 THEN 80.2707 + (u2 - 0.5) * 0.25 "
+    "ELSE 68.0 + u2 * 24.0 END AS lon FROM ("
+    "SELECT o_orderkey AS point_id, "
+    "((o_orderkey * 9973) % 10000) / 10000.0 AS usel, "
+    "((o_orderkey * 7919) % 1000000) / 1000000.0 AS u1, "
+    "((o_orderkey * 104729) % 1000000) / 1000000.0 AS u2 "
+    "FROM orders) t"
+)
+
 
 def _halfplane_sql() -> str:
     conds = []
@@ -578,18 +603,74 @@ def oracle_embedding_cosine_topk() -> str:
 
 def q_flagship_image_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BASELINE.json metric query: image-derived points vs ONDC-shaped polygons
-    (fixtures §2/§3) through the full candidate+refine pipeline."""
+    (fixtures §3) through the full candidate+refine pipeline.
+
+    Points derive from image rows (keyed by orders) via :data:`PTS_IMAGES` — the same
+    hotspot-skew mixture as fixtures.image_point but in oracle-expressible rational
+    arithmetic, so the hard oracle (ray-cast crossing count in SQL over the normalized
+    fixture rings) verifies rows+schema+hash, not just row counts.
+    """
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.spatial_join import spatial_join
 
     register_views(spark, sf_dir)
-    n_orders = spark.table("orders").count()
-    ids = [f"img_{i:012d}" for i in range(min(n_orders * 4, 20000))]
-    pts = spark.createDataFrame(FX.image_point(ids)).withColumnRenamed(
-        "image_id", "point_id"
-    )
+    pts = spark.sql(PTS_IMAGES)
     polys = spark.createDataFrame(FX.make_polygons(60)[["polygon_id", "geojson"]])
-    return spatial_join(pts, polys, compact=True, salt=8)
+    return spatial_join(pts, polys, compact=True, salt=8).select(
+        "point_id", "polygon_id"
+    )
+
+
+def oracle_flagship_image_join() -> str:
+    """Exact SQL oracle for the flagship join: even-odd ray cast + on-edge test per
+    (point, polygon), with the normalized fixture rings embedded as edge literals.
+
+    Mirrors functions/pip.py RingKernel EXACTLY — same crossing rule
+    ``(y1 <= py) != (y2 <= py) AND px < x1 + (py - y1) * slope`` with the slope
+    precomputed to the identical float64, and the same collinear+bbox on-edge test —
+    so both engines evaluate the identical IEEE expressions on identical doubles.
+    Invalid polygons (the fixture bow-tie) are excluded on both sides, matching
+    normalize_polygons' poly_errors contract.
+    """
+    import json as _json
+
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.functions import geometry as G
+
+    polys = FX.make_polygons(60)
+    edge_rows = []
+    for pid, gj in zip(polys["polygon_id"], polys["geojson"]):
+        norm, err = G.normalize_polygon_geojson(gj)
+        if err:
+            continue
+        # parse the normalized json so the oracle sees EXACTLY the doubles the
+        # Arrow kernel sees (json round-trip via repr is exact for float64)
+        ring = _json.loads(norm)["features"][0]["geometry"]["coordinates"][0]
+        if ring[0] != ring[-1]:
+            ring = ring + [ring[0]]
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            dx = x2 - x1
+            dy = y2 - y1
+            slope = dx / dy if dy != 0.0 else 0.0  # same rule as RingKernel
+            edge_rows.append(
+                f"('{pid}',{x1!r},{y1!r},{x2!r},{y2!r},{slope!r},{dx!r},{dy!r},"
+                f"{min(x1, x2)!r},{max(x1, x2)!r},{min(y1, y2)!r},{max(y1, y2)!r})"
+            )
+    edges_values = ",".join(edge_rows)
+    return (
+        f"WITH pts AS ({PTS_IMAGES}), "
+        "edges(polygon_id, x1, y1, x2, y2, slope, dx, dy, exmin, exmax, eymin, eymax)"
+        f" AS (VALUES {edges_values}), "
+        "tests AS (SELECT p.point_id, e.polygon_id, "
+        "sum(CASE WHEN ((e.y1 <= p.lat) <> (e.y2 <= p.lat)) "
+        "AND p.lon < e.x1 + (p.lat - e.y1) * e.slope THEN 1 ELSE 0 END) AS crossings, "
+        "max(CASE WHEN e.dx * (p.lat - e.y1) - e.dy * (p.lon - e.x1) = 0.0 "
+        "AND p.lon >= e.exmin AND p.lon <= e.exmax "
+        "AND p.lat >= e.eymin AND p.lat <= e.eymax THEN 1 ELSE 0 END) AS on_edge "
+        "FROM pts p CROSS JOIN edges e GROUP BY p.point_id, e.polygon_id) "
+        "SELECT point_id, polygon_id FROM tests "
+        "WHERE crossings % 2 = 1 OR on_edge = 1"
+    )
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count_ws": oracle_token_count_ws(),
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
             "json_extract": oracle_json_extract(),
+            "flagship_image_join": oracle_flagship_image_join(),
         }
     )
     return out
