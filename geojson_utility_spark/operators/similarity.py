@@ -1,12 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: exact baseline — dot products as pure Catalyst array
-  expressions (zip_with + aggregate), broadcast query set, window top-k.
-- LSH-bucketed ANN (random hyperplane / sign-LSH): the scale path — each vector gets a
-  b-bit signature from fixed pseudo-random hyperplanes (deterministic, seeded, computed
-  with expressions); candidates share a signature band; exact cosine re-rank inside
-  buckets only.  At 10^12 rows the all-pairs problem becomes |bucket|^2 local work with
-  a single equi-join shuffle.
+- brute-force cosine top-k: exact baseline — one zero-shuffle ``mapInArrow`` pass whose
+  kernel is a numpy matmul of each Arrow batch against the broadcast query matrix
+  (BLAS-rate arithmetic; Catalyst higher-order lambdas like aggregate/zip_with are
+  interpreted per element and ~10-100x slower in this hot path).
+- LSH-bucketed ANN (random hyperplane / sign-LSH): the scale path — ONE matmul against
+  the stacked (n_tables x n_bits, dim) hyperplane matrix emits every table's signature
+  in a single scan of the vector table; candidates share a (table, signature) bucket;
+  exact cosine re-rank touches candidates only.  At 10^12 rows the all-pairs problem
+  becomes |bucket| local work with a single broadcast equi-join — never N^2.
+
+Both kernels keep ids inside Arrow columnar buffers (no Python object churn) and emit
+a per-batch candidate superset small enough that the final exact window is negligible:
+for each query the batch keeps every row whose cosine ties-or-beats the batch's k-th
+best, so the global top-k (with the deterministic (cosine desc, vec_id asc) order) is
+always contained in the union.
 """
 
 from __future__ import annotations
@@ -16,27 +24,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_expr(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _list_to_matrix(col) -> np.ndarray:
+    """Arrow List/FixedSizeList<float> column -> (n, dim) float64 matrix (zero object
+    churn: one flat buffer view + reshape; ragged input raises)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values
+    else:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) == 0:
+            return np.empty((0, 0))
+        dim = int(widths[0])
+        if not (widths == dim).all():
+            raise ValueError("ragged embedding column: all vectors must share a dim")
+        flat = col.flatten()
+    mat = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return mat.reshape(len(col), dim)
 
 
-def norm_expr(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-
-
-def cosine_expr(a, b):
-    denom = norm_expr(a) * norm_expr(b)
-    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+def _collect_query_matrix(
+    queries: DataFrame, query_id_col: str, vec_col: str
+) -> tuple[list, np.ndarray]:
+    """Query set -> (ids, (Q, dim) float64 matrix). Queries are small by contract
+    (the broadcast side); order fixed by collection for deterministic indices."""
+    rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in rows]
+    qmat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return qids, qmat
 
 
 def cosine_topk(
@@ -51,18 +70,65 @@ def cosine_topk(
 
     Result: (query_id, vec_id, cosine, rank) with rank 1..k by descending cosine,
     ties broken by vec_id (deterministic).
+
+    Physical plan: single scan of ``vectors``, zero shuffle — the Arrow kernel
+    computes the batch x query cosine matrix with one matmul and keeps, per query,
+    only rows whose cosine >= the batch's k-th best (a tie-safe superset), so the
+    final window ranks ~k rows per (query, partition), not N.
     """
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    spark = vectors.sparkSession
+    qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
+    if len(qids) == 0:
+        empty = spark.createDataFrame([], "query_id string, vec_id string, "
+                                          "cosine double, rank int")
+        return empty
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qmat, qnorm))
+
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    pid_type = dict(v.dtypes)["vec_id"]
+    out_schema = f"vec_id {pid_type}, _qidx int, cosine double"
+
+    def kernel(it):
+        import pyarrow as pa
+
+        qm, qn = bc.value
+        nq = qm.shape[0]
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            denom = vnorm[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (vm @ qm.T) / denom, 0.0)
+            # per-query tie-safe top-k: keep every row with cos >= k-th best —
+            # the global top-k under (cosine desc, vec_id asc) is inside this set
+            if n > k:
+                kth = np.partition(cos, n - k, axis=0)[n - k, :]
+                keep = cos >= kth[None, :]
+            else:
+                keep = np.ones((n, nq), dtype=bool)
+            rows, qidx = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(pa.array(rows, type=pa.int64())),
+                    pa.array(qidx.astype(np.int32)),
+                    pa.array(cos[rows, qidx]),
+                ],
+                ["vec_id", "_qidx", "cosine"],
+            )
+
+    local = v.mapInArrow(kernel, out_schema)
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], ["_qidx", "query_id"]
     )
-    cos = cosine_expr(F.col("qv"), F.col("v"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        v.crossJoin(F.broadcast(q))
-        .withColumn("cosine", cos)
+        local.join(F.broadcast(qmap), "_qidx")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
@@ -74,25 +140,16 @@ def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_bits, dim)).tolist()
 
 
-def signature_expr(vec, planes: list[list[float]]):
-    """Sign-LSH signature as a bigint: bit i = sign(vec . plane_i)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(p)) for p in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig.bitwiseOR(
-            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sig
+def _signatures_np(mat: np.ndarray, planes: np.ndarray, n_bits: int) -> np.ndarray:
+    """(n, dim) x (n_tables*n_bits, dim) -> (n, n_tables) int64 signatures.
+
+    Bit i of table t is sign(v . plane[t*n_bits + i]) — the same >0 rule for every
+    row on both the vector and query sides, so bucket keys agree.
+    """
+    bits = (mat @ planes.T) > 0  # (n, n_tables*n_bits)
+    n_tables = planes.shape[0] // n_bits
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+    return bits.reshape(len(mat), n_tables, n_bits) @ weights  # (n, n_tables)
 
 
 def lsh_topk(
@@ -111,34 +168,102 @@ def lsh_topk(
     hyperplane tables, exact cosine re-rank over the union of candidates.
 
     Recall grows with n_tables; candidates per query ~ N / 2^n_bits per table.
+
+    Physical plan: ONE scan of the vector table — the Arrow kernel matmuls each
+    batch against the stacked hyperplane matrix and emits (vec_id, table, sig)
+    rows for all tables at once (the n-separate-scans formulation pays the scan
+    n_tables times); query signatures are computed driver-side (queries are tiny)
+    and broadcast; the candidate set is re-ranked by one exact-cosine kernel pass
+    restricted to candidates.
     """
+    spark = vectors.sparkSession
+    qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], "query_id string, vec_id string, "
+                                         "cosine double, rank int")
     if dim is None:
-        first = vectors.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"])
-    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        dim = qmat.shape[1]
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_bits, seed + t)) for t in range(n_tables)]
+    )
+    bc_planes = spark.sparkContext.broadcast(planes)
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_bits, seed + t)
-        v_sig = v.withColumn("sig", signature_expr(F.col("v"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        q_sig = q.withColumn("sig", signature_expr(F.col("qv"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        c = v_sig.join(F.broadcast(q_sig), ["table", "sig"], "inner").select(
-            "query_id", "vec_id", "qv", "v"
-        )
-        cand = c if cand is None else cand.unionByName(c)
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    pid_type = dict(v.dtypes)["vec_id"]
 
-    cos = cosine_expr(F.col("qv"), F.col("v"))
+    def sig_kernel(it):
+        import pyarrow as pa
+
+        pl = bc_planes.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            sigs = _signatures_np(vm, pl, n_bits)  # (n, n_tables)
+            idx = np.repeat(np.arange(n, dtype=np.int64), n_tables)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(pa.array(idx)),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                    pa.array(sigs.reshape(-1)),
+                ],
+                ["vec_id", "_table", "_sig"],
+            )
+
+    v_sig = v.mapInArrow(sig_kernel, f"vec_id {pid_type}, _table int, _sig long")
+
+    q_sigs = _signatures_np(qmat, planes, n_bits)  # (Q, n_tables)
+    q_sig_rows = [
+        (int(i), int(t), int(q_sigs[i, t]))
+        for i in range(len(qids))
+        for t in range(n_tables)
+    ]
+    q_sig_df = spark.createDataFrame(q_sig_rows, "_qidx int, _table int, _sig long")
+
+    cand = (
+        v_sig.join(F.broadcast(q_sig_df), ["_table", "_sig"], "inner")
+        .select("_qidx", "vec_id")
+        .dropDuplicates(["_qidx", "vec_id"])
+    )
+
+    # exact re-rank restricted to candidates: re-attach vectors by BROADCASTING the
+    # candidate set (bounded by |queries| * n_tables * N/2^n_bits — small by design)
+    # so the big vector table streams map-side and never shuffles
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    bc_q = spark.sparkContext.broadcast((qmat, qnorm))
+    cand_v = v.join(F.broadcast(cand), "vec_id", "inner")
+
+    def rerank_kernel(it):
+        import pyarrow as pa
+
+        qm, qn = bc_q.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            qi = batch.column("_qidx").to_numpy(zero_copy_only=False)
+            dots = np.einsum("ij,ij->i", vm, qm[qi])
+            denom = np.sqrt((vm * vm).sum(axis=1)) * qn[qi]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), batch.column("_qidx"), pa.array(cos)],
+                ["vec_id", "_qidx", "cosine"],
+            )
+
+    scored = cand_v.mapInArrow(
+        rerank_kernel, f"vec_id {pid_type}, _qidx int, cosine double"
+    )
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], ["_qidx", "query_id"]
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        cand.dropDuplicates(["query_id", "vec_id"])
-        .withColumn("cosine", cos)
+        scored.join(F.broadcast(qmap), "_qidx")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
