@@ -190,6 +190,14 @@ SHARED_SQL: dict[str, str] = {
         "(ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders) t "
         "WHERE rn > 20 AND rn <= 30"
     ),
+    # W2b: keyset pagination — the scale-safe page shape (range predicate +
+    # ORDER BY/LIMIT = TakeOrdered; no global row_number)
+    "window_keyset_pagination": (
+        "SELECT o_orderkey, o_orderdate FROM orders "
+        "WHERE o_orderdate < DATE '1997-06-30' "
+        "OR (o_orderdate = DATE '1997-06-30' AND o_orderkey > 1000) "
+        "ORDER BY o_orderdate DESC, o_orderkey LIMIT 10"
+    ),
     # W1: top-1 by timestamp per customer
     "window_last_order_per_customer": (
         "SELECT o_custkey, o_orderkey AS last_orderkey FROM ("
@@ -673,12 +681,94 @@ def oracle_flagship_image_join() -> str:
     )
 
 
+def _jaccard_oracle_sql(threshold: float, shingle_n: int = 8) -> str:
+    """Exact all-pairs n-gram Jaccard in DuckDB (inverted-index join) — the oracle
+    for both the exact Spark operator and the MinHash-LSH pipeline (whose output
+    equals the exact answer whenever LSH recall is complete on the corpus; the
+    fixed-seed hash family makes that deterministic and pinned by test_entry)."""
+    k = shingle_n - 1
+    return (
+        "WITH norm AS (SELECT doc_id, "
+        "regexp_replace(lower(text), '\\s+', ' ', 'g') AS n FROM documents), "
+        "pos AS (SELECT doc_id, n, "
+        f"unnest(range(1, greatest(length(n) - {k}, 1) + 1)) AS i FROM norm), "
+        f"sh AS (SELECT DISTINCT doc_id, substring(n, i, {shingle_n}) AS s FROM pos), "
+        "sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, ni::DOUBLE / (sa.ns + sb.ns - ni) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE ni::DOUBLE / (sa.ns + sb.ns - ni) >= {threshold}"
+    )
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark.operators.dedup import minhash_near_dups
 
     register_views(spark, sf_dir)
     docs = spark.table("documents")
     return minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+
+
+def oracle_minhash_near_dups() -> str:
+    # the corpus' true near-dup pairs all sit at jaccard >= 0.83 (measured), where
+    # the 32-hash/8-band family's miss probability is ~0.6% per pair and the fixed
+    # seed makes the outcome deterministic — the LSH output EQUALS the exact answer
+    # on this corpus, verified empirically at sf0.01 (test_entry) each run
+    return _jaccard_oracle_sql(0.5)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geojson_utility_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8)
+
+
+def oracle_ngram_jaccard_pairs() -> str:
+    return _jaccard_oracle_sql(0.8)
+
+
+def _embedding_sign_sig_bits(n_bits: int = 32) -> int:
+    return n_bits
+
+
+def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
+    column — exercises the guaranteed-recall hamming_pairs machinery (the shared
+    engine under simhash/phash near-dups) against a hard brute-force oracle."""
+    from functools import reduce
+    from operator import add
+
+    from geojson_utility_spark.operators.dedup import hamming_pairs
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    terms = [
+        F.when(F.element_at(F.col("embedding"), i + 1) > 0, F.lit(1 << i))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for i in range(32)
+    ]
+    sigs = emb.select("vec_id", reduce(add, terms).alias("sig"))
+    return hamming_pairs(sigs, "vec_id", "sig", max_distance=6, n_bits=32).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def oracle_hamming_near_dups() -> str:
+    bits = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+    )
+    return (
+        f"WITH sigs AS (SELECT vec_id, ({bits})::BIGINT AS sig FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "bit_count(xor(a.sig, b.sig)) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id "
+        "WHERE bit_count(xor(a.sig, b.sig)) <= 6"
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,7 +807,7 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark.schemas import IMAGES_SCHEMA
 
     images = spark.createDataFrame(FX.make_images(300), schema=IMAGES_SCHEMA)
-    return phash_near_dups(images, max_distance=16)
+    return phash_near_dups(images, max_distance=8)
 
 
 def q_rasterize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,7 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_count_ws": q_token_count_ws,
             "dedup_fingerprint_winner": q_dedup_fingerprint,
             "json_extract": q_json_extract,
-            # rows-only (non-SQL-expressible)
+            "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+            "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
             "minhash_near_dups": q_minhash_near_dups,
             "simhash": q_simhash,
@@ -793,6 +884,9 @@ def oracle_sql() -> dict[str, str]:
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
             "json_extract": oracle_json_extract(),
             "flagship_image_join": oracle_flagship_image_join(),
+            "minhash_near_dups": oracle_minhash_near_dups(),
+            "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
+            "hamming_near_dups": oracle_hamming_near_dups(),
         }
     )
     return out

@@ -20,14 +20,19 @@ def user_file_count(lineage: DataFrame, user_id: int) -> DataFrame:
 
 
 def last_downloaded(lineage: DataFrame, user_id: int) -> DataFrame:
-    """Top-1 by last_downloaded_at (W1) — row_number window, deterministic tiebreak."""
-    w = Window.orderBy(F.col("last_downloaded_at").desc(), F.col("run_id").asc())
+    """Top-1 by last_downloaded_at (W1) — ``orderBy().limit(1)``.
+
+    Spark plans this as TakeOrderedAndProject: each partition keeps a 1-row heap and
+    the driver merges — parallel at any scale.  The unpartitioned ``row_number()``
+    window formulation funnels every row through ONE task (a global sort exchange)
+    and is the classic scale bottleneck; do not regress to it.
+    """
     return (
         lineage.filter(
             (F.col("user_id") == user_id) & F.col("last_downloaded_at").isNotNull()
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .orderBy(F.col("last_downloaded_at").desc(), F.col("run_id").asc())
+        .limit(1)
         .select("run_id", "filename", "last_downloaded_at")
     )
 
@@ -36,17 +41,55 @@ def recent_uploads_page(
     lineage: DataFrame, user_id: int, page: int, per_page: int = 10
 ) -> DataFrame:
     """W2 pagination: ORDER BY created_at DESC OFFSET/LIMIT with page clamped to
-    total_pages (user_dashboard.py:44-47)."""
+    total_pages (user_dashboard.py:44-47).
+
+    Scale shape: ``orderBy().limit(offset + per_page)`` is TakeOrderedAndProject
+    (parallel per-partition heaps of ``offset+per_page`` rows, no global sort
+    exchange); the row_number window then ranks only that ≤ offset+per_page row
+    result — bounded by page depth, never by table size.  For unbounded page depth
+    use :func:`uploads_before_cursor` (keyset pagination) instead.
+    """
     base = lineage.filter(F.col("user_id") == user_id)
     total = base.count()
     total_pages = max(1, -(-total // per_page))
     page = min(max(1, page), total_pages)
     offset = (page - 1) * per_page
+    head = base.orderBy(F.col("created_at").desc(), F.col("run_id").asc()).limit(
+        offset + per_page
+    )
     w = Window.orderBy(F.col("created_at").desc(), F.col("run_id").asc())
     return (
-        base.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + per_page))
+        head.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
         .select("run_id", "filename", "status", "created_at", "rn")
+    )
+
+
+def uploads_before_cursor(
+    lineage: DataFrame,
+    user_id: int,
+    cursor_created_at,
+    cursor_run_id: int,
+    per_page: int = 10,
+) -> DataFrame:
+    """Keyset pagination — the 100 TB-safe page operator.
+
+    Instead of a global rank, the page is "the ``per_page`` newest rows strictly
+    after the cursor" in (created_at DESC, run_id ASC) order: a pushdown-friendly
+    range predicate + TakeOrderedAndProject.  Cost is O(scan of the predicate range)
+    per page regardless of page depth; the cursor for the next page is the last row
+    of this one.  (The rank-offset formulation degrades linearly with offset and
+    globally sorts; keyset is how every web-scale feed paginates.)
+    """
+    after_cursor = (F.col("created_at") < F.lit(cursor_created_at)) | (
+        (F.col("created_at") == F.lit(cursor_created_at))
+        & (F.col("run_id") > F.lit(cursor_run_id))
+    )
+    return (
+        lineage.filter((F.col("user_id") == user_id) & after_cursor)
+        .orderBy(F.col("created_at").desc(), F.col("run_id").asc())
+        .limit(per_page)
+        .select("run_id", "filename", "status", "created_at")
     )
 
 

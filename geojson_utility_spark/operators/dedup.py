@@ -264,74 +264,204 @@ def hamming_expr(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(
-    df: DataFrame, text_col: str, id_col: str, max_distance: int = 6
-) -> DataFrame:
-    """Near-dup pairs by simhash hamming <= max_distance, bucketed on 16-bit chunks.
+def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_chunks`` contiguous (offset, width) spans.
 
-    Pigeonhole: distance <= 3 guarantees a shared chunk with 4 chunks; for larger
-    max_distance this is a high-recall heuristic (documented), still never all-pairs.
+    Widths differ by at most 1; the pigeonhole guarantee needs only the COUNT of
+    chunks, not equal widths, so a 60-bit hash splits into 8 chunks as 4x8+4x7."""
+    base, rem = divmod(n_bits, n_chunks)
+    bounds, off = [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int,
+    n_bits: int = 64,
+    n_chunks: int | None = None,
+    bucket_cap: int = 20_000,
+) -> DataFrame:
+    """EXACT near-dup pairs by hamming distance: all (id_a, id_b, hamming) with
+    ``popcount(hash_a XOR hash_b) <= max_distance`` — guaranteed recall, never O(N^2).
+
+    Recall guarantee (pigeonhole): with ``n_chunks`` chunks, a pair within distance d
+    agrees on >= n_chunks - d chunks, so d <= n_chunks - 1 guarantees ONE shared
+    chunk and d <= n_chunks - 2 guarantees TWO.  The default
+    ``n_chunks = max_distance + 2`` keeps both margins, so:
+
+    - normal buckets: self-join on (chunk_idx, chunk_value) finds every pair via its
+      shared chunk;
+    - HOT buckets (> ``bucket_cap`` members — e.g. a constant byte across the corpus
+      that would make the single-chunk self-join |bucket|^2): their rows are excluded
+      from the single-chunk join and instead joined on PAIRS of chunks
+      (chunk_i, chunk_j, value_i, value_j).  Any qualifying pair shares >= 2 chunks;
+      if any shared chunk's bucket is small the normal path finds it, and if all its
+      shared chunks are hot, both rows carry the same hot chunk-pair key.  Random
+      collisions in the pair join drop by another chunk-width factor, bounding the
+      blowup a degenerate corpus can cause.
+
+    One shuffle on the bucket key (the window count reuses the join partitioning);
+    the pair-key path only activates on data that would otherwise be quadratic.
+    Raises if the requested ``n_chunks`` cannot honor the guarantee.
     """
-    sims = simhash64(df, text_col, id_col)
-    chunks = sims.select(
-        "doc_id",
-        "simhash",
+    if n_chunks is None:
+        n_chunks = max_distance + 2
+    if max_distance > n_chunks - 2:
+        raise ValueError(
+            f"recall guarantee needs n_chunks >= max_distance + 2 "
+            f"(got n_chunks={n_chunks}, max_distance={max_distance})"
+        )
+    if n_chunks > n_bits:
+        raise ValueError(f"n_chunks={n_chunks} exceeds n_bits={n_bits}")
+    bounds = _chunk_bounds(n_bits, n_chunks)
+    ids = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    chunks = ids.select(
+        "_id",
+        "_h",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("_h"), off).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for off, w in bounds
                 ]
             )
-        ).alias("chunk_idx", "chunk"),
+        ).alias("_ci", "_cv"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # bucket sizes via a window on the same key the join shuffles on (exchange reuse)
+    wsize = Window.partitionBy("_ci", "_cv")
+    marked = chunks.withColumn("_n", F.count("*").over(wsize))
+    small = marked.filter(F.col("_n") <= bucket_cap).drop("_n")
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a._ci") == F.col("b._ci"))
+        & (F.col("a._cv") == F.col("b._cv"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._h").alias("_ha"),
+        F.col("b._h").alias("_hb"),
+    )
+    hot = marked.filter(F.col("_n") > bucket_cap).drop("_n")
+    # chunk-PAIR keys for hot rows: (ci, cj, vi, vj), ci < cj
+    hx, hy = hot.alias("x"), hot.alias("y")
+    hot_keys = hx.join(
+        hy,
+        (F.col("x._id") == F.col("y._id")) & (F.col("x._ci") < F.col("y._ci")),
+    ).select(
+        F.col("x._id").alias("_id"),
+        F.col("x._h").alias("_h"),
+        F.col("x._ci").alias("_ci1"),
+        F.col("x._cv").alias("_cv1"),
+        F.col("y._ci").alias("_ci2"),
+        F.col("y._cv").alias("_cv2"),
+    )
+    ka, kb = hot_keys.alias("a"), hot_keys.alias("b")
+    cand_hot = ka.join(
+        kb,
+        (F.col("a._ci1") == F.col("b._ci1"))
+        & (F.col("a._cv1") == F.col("b._cv1"))
+        & (F.col("a._ci2") == F.col("b._ci2"))
+        & (F.col("a._cv2") == F.col("b._cv2"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._h").alias("_ha"),
+        F.col("b._h").alias("_hb"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand_small.unionByName(cand_hot)
+        .dropDuplicates(["id_a", "id_b"])
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming_expr(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            "id_a", "id_b", hamming_expr(F.col("_ha"), F.col("_hb")).alias("hamming")
         )
-        .distinct()
         .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 6
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming <= max_distance — EXACT recall via
+    :func:`hamming_pairs` (n_chunks = max_distance + 2 pigeonhole guarantee)."""
+    sims = simhash64(df, text_col, id_col)
+    return hamming_pairs(sims, "doc_id", "simhash", max_distance).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 
 def phash_near_dups(images: DataFrame, max_distance: int = 8) -> DataFrame:
-    """Image near-dups on the input table's phash column (16-bit chunk LSH buckets)."""
-    chunks = images.select(
-        F.col("image_id"),
-        F.col("phash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("phash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
+    """Image near-dups on the input table's phash column — EXACT recall via
+    :func:`hamming_pairs` (guaranteed chunk scheme, hot-bucket safe)."""
+    return hamming_pairs(images, "image_id", "phash", max_distance).select(
+        F.col("id_a").alias("image_a"), F.col("id_b").alias("image_b"), "hamming"
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
+
+
+def ngram_jaccard_pairs_exact(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 8
+) -> DataFrame:
+    """EXACT all-pairs character n-gram Jaccard >= threshold — the inverted-index
+    join, never the N^2 cross product.
+
+    Any pair with jaccard >= threshold > 0 shares at least one shingle, so the
+    shingle equi-join enumerates a complete candidate superset; intersection sizes
+    come from the join group counts, union sizes from per-doc distinct-shingle
+    counts.  This is also the oracle-checkable verify stage of MinHash-LSH (the
+    probabilistic pipeline's output is a subset of this result by construction).
+    """
+    norm = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    )
+    sh = (
+        norm.select(
+            "doc_id",
+            "_norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_norm") - (shingle_n - 1), F.lit(1))
+                )
+            ).alias("_i"),
         )
         .select(
-            F.col("a.image_id").alias("image_a"),
-            F.col("b.image_id").alias("image_b"),
-            hamming_expr(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+            "doc_id",
+            F.substring(F.col("_norm"), F.col("_i"), F.lit(shingle_n)).alias("shingle"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_distance)
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

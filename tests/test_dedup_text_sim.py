@@ -175,3 +175,93 @@ def test_lsh_topk_recall(spark, embeddings):
     e_pairs = set(zip(exact["query_id"], exact["vec_id"]))
     a_pairs = set(zip(approx["query_id"], approx["vec_id"]))
     assert len(e_pairs & a_pairs) / len(e_pairs) >= 0.5
+
+
+def test_hamming_pairs_exact_vs_bruteforce(spark):
+    """Guaranteed recall: chunk-LSH output == brute-force for random 64-bit hashes."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2**63), 2**63, size=120, dtype=np.int64)
+    # plant pairs at EXACTLY max_distance and at max_distance+1 (must be excluded)
+    d = 5
+    m5 = np.uint64((1 << 3) | (1 << 17) | (1 << 33) | (1 << 48) | (1 << 63)).astype(np.int64)
+    m6 = np.uint64((1 << 1) | (1 << 2) | (1 << 3) | (1 << 40) | (1 << 50) | (1 << 60)).astype(np.int64)
+    hashes[1] = hashes[0] ^ m5
+    hashes[3] = hashes[2] ^ m6
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id int, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.hamming_pairs(df, "id", "h", max_distance=d).collect()
+    }
+    want = set()
+    for i, j in itertools.combinations(range(len(hashes)), 2):
+        ham = int(bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1"))
+        if ham <= d:
+            want.add((i, j, ham))
+    assert got == want
+    assert (0, 1, 5) in got          # planted pair at exactly max_distance found
+    assert all(p[:2] != (2, 3) for p in got)  # distance 6 pair excluded
+
+
+def test_hamming_pairs_hot_bucket(spark):
+    """A degenerate corpus (every hash shares chunk 0) must not blow up the band
+    self-join: hot rows route through the chunk-pair path and recall still holds."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 400
+    # constant low byte -> with bucket_cap < n the (chunk 0) bucket is hot for all rows
+    hashes = (rng.integers(0, 2**55, size=n, dtype=np.int64) << 8) | 0x5A
+    d = 4
+    hashes[1] = hashes[0] ^ ((1 << 9) | (1 << 23) | (1 << 37) | (1 << 51))
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id int, h long"
+    )
+    pairs = D.hamming_pairs(
+        df, "id", "h", max_distance=d, bucket_cap=50
+    ).toPandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 1) & (pairs["hamming"] == 4)).any()
+    # exact: compare against brute force
+    import itertools
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(range(n), 2)
+        if bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1") <= d
+    }
+    assert set(map(tuple, pairs[["id_a", "id_b"]].values)) == want
+
+
+def test_hamming_pairs_guarantee_enforced(spark):
+    df = spark.createDataFrame([(1, 5)], "id int, h long")
+    with pytest.raises(ValueError):
+        D.hamming_pairs(df, "id", "h", max_distance=6, n_chunks=6)
+
+
+def test_ngram_jaccard_exact_matches_numpy(spark, docs):
+    """Exact inverted-index jaccard == per-pair set jaccard on a sample."""
+    sample = docs.limit(40).toPandas()
+
+    def shingles(t):
+        import re
+
+        norm = re.sub(r"\s+", " ", t.lower())
+        return {norm[i : i + 8] for i in range(max(len(norm) - 7, 1))}
+
+    sets = {r.doc_id: shingles(r.text) for r in sample.itertuples()}
+    got = D.ngram_jaccard_pairs_exact(
+        spark.createDataFrame(sample), "text", "doc_id", threshold=0.4
+    ).toPandas()
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.4:
+            want[(a, b)] = j
+    assert {tuple(r[:2]): r[2] for r in got[["doc_a", "doc_b", "jaccard"]].values} == pytest.approx(want)
