@@ -111,10 +111,21 @@ def bench_queries(spark):
 def main():
     spark = build_session()
     qs, n_points = bench_queries(spark)
-    # untimed warmup: JVM/JIT, Arrow codepaths, page cache — the timed loop measures
-    # steady-state query cost, not first-query startup
+    # untimed warmup: JVM/JIT, whole-stage-codegen compilation, Arrow codepaths,
+    # page cache — the timed loop measures steady-state query cost, not first-query
+    # startup.  The minhash/simhash plans carry 32-96 generated aggregate columns
+    # whose janino compile alone costs ~5 s; warming them on a 300-doc slice
+    # compiles the identical generated classes so the timed run measures the query.
+    from geojson_utility_spark.operators.dedup import (
+        minhash_near_dups as _mh,
+        simhash64 as _sh,
+    )
+
     qs["flagship_spatial_join"]().limit(1000).count()
     qs["q1_pricing_summary"]().count()
+    _docs_warm = spark.table("documents").limit(300)
+    _mh(_docs_warm, "text", "doc_id", 0.5).count()
+    _sh(_docs_warm, "text", "doc_id").count()
     times: dict[str, float] = {}
     join_rows = 0
     for name, fn in qs.items():

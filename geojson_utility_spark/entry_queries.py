@@ -441,6 +441,38 @@ def oracle_validate_id_fields() -> str:
     )
 
 
+def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 hash/crypto family (reference backend/core/security.py:3-7 hashes
+    secrets with sha256; auth.py:22 mints uuid tokens): sha2-256 + md5 digests and
+    a deterministic name-based uuid (md5 hex formatted 8-4-4-4-12, the uuid3
+    layout) — the engine's content-addressing primitives."""
+    register_views(spark, sf_dir)
+    m = F.md5(F.col("c_name"))
+    uuid3 = F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 4),
+        F.substring(m, 21, 12),
+    )
+    return spark.table("customer").select(
+        "c_custkey",
+        F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
+        m.alias("md5_hex"),
+        uuid3.alias("name_uuid"),
+    )
+
+
+def oracle_hash_functions() -> str:
+    return (
+        "SELECT c_custkey, sha256(c_name) AS sha256_hex, md5(c_name) AS md5_hex, "
+        "substring(md5(c_name), 1, 8) || '-' || substring(md5(c_name), 9, 4) || '-' "
+        "|| substring(md5(c_name), 13, 4) || '-' || substring(md5(c_name), 17, 4) "
+        "|| '-' || substring(md5(c_name), 21, 12) AS name_uuid FROM customer"
+    )
+
+
 def q_token_count_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark.operators.textops import token_count_ws
 
@@ -850,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token_count_ws": q_token_count_ws,
             "dedup_fingerprint_winner": q_dedup_fingerprint,
             "json_extract": q_json_extract,
+            "hash_functions": q_hash_functions,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
@@ -884,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
             "json_extract": oracle_json_extract(),
             "flagship_image_join": oracle_flagship_image_join(),
+            "hash_functions": oracle_hash_functions(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),

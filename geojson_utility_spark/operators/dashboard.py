@@ -143,6 +143,85 @@ def downloadable_runs(lineage: DataFrame) -> DataFrame:
     return lineage.filter(~F.col("status").isin("pending", "processing"))
 
 
+def record_downloads(lineage: DataFrame, downloads: DataFrame) -> DataFrame:
+    """Apply download events to the lineage table — the set-oriented MERGE of the
+    reference's per-download mutation (/root/reference/backend/routers/catchment.py:
+    636-663: 400 unless status is terminal, then ``download_count += 1``,
+    ``last_downloaded_at = now``, ``first_downloaded_at`` set once).
+
+    ``downloads``: (run_id, downloaded_at).  Downloads against non-terminal runs are
+    REJECTED exactly like the reference's 400 (dropped from the merge; use
+    :func:`rejected_downloads` for the error report).  Returns the updated lineage
+    (copy-on-write: Spark tables are immutable — at scale this is the MERGE INTO
+    shape over an Iceberg/Delta table, one broadcast join of the small delta).
+    """
+    agg = downloads.groupBy("run_id").agg(
+        F.count("*").alias("_n_dl"),
+        F.max("downloaded_at").alias("_last_dl"),
+        F.min("downloaded_at").alias("_first_dl"),
+    )
+    terminal = ~F.col("status").isin("pending", "processing")
+    merged = lineage.join(F.broadcast(agg), "run_id", "left")
+    applied = F.col("_n_dl").isNotNull() & terminal
+    return (
+        merged.withColumn(
+            "download_count",
+            F.when(applied, F.col("download_count") + F.col("_n_dl")).otherwise(
+                F.col("download_count")
+            ),
+        )
+        .withColumn(
+            "last_downloaded_at",
+            F.when(
+                applied,
+                F.greatest(
+                    F.coalesce(F.col("last_downloaded_at"), F.col("_last_dl")),
+                    F.col("_last_dl"),
+                ),
+            ).otherwise(F.col("last_downloaded_at")),
+        )
+        .withColumn(
+            "first_downloaded_at",
+            F.when(
+                applied, F.coalesce(F.col("first_downloaded_at"), F.col("_first_dl"))
+            ).otherwise(F.col("first_downloaded_at")),
+        )
+        .drop("_n_dl", "_last_dl", "_first_dl")
+    )
+
+
+def rejected_downloads(lineage: DataFrame, downloads: DataFrame) -> DataFrame:
+    """Download attempts the reference answers with 400 ('not ready yet'): runs still
+    pending/processing, plus unknown run ids (404) — filter-that-annotates shape."""
+    status = lineage.select("run_id", "status")
+    joined = downloads.join(status, "run_id", "left")
+    err = (
+        F.when(F.col("status").isNull(), F.lit("CSV file not found"))
+        .when(
+            F.col("status").isin("pending", "processing"),
+            F.concat(
+                F.lit("CSV file is not ready yet. Current status: "), F.col("status")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return joined.withColumn("errors", err).filter(F.col("errors") != "")
+
+
+def user_download_rollup(lineage: DataFrame, downloads: DataFrame) -> DataFrame:
+    """The reference's user-level download counters (catchment.py:656-660:
+    ``total_csvs_downloaded += 1``, ``last_csv_download_at = now``), derived
+    set-oriented: one join + groupBy(user_id)."""
+    terminal = ~F.col("status").isin("pending", "processing")
+    ok = downloads.join(
+        lineage.filter(terminal).select("run_id", "user_id"), "run_id", "inner"
+    )
+    return ok.groupBy("user_id").agg(
+        F.count("*").alias("total_csvs_downloaded"),
+        F.max("downloaded_at").alias("last_csv_download_at"),
+    )
+
+
 def status_percentages(lineage: DataFrame) -> DataFrame:
     """A8: per-status share, round(100*n/total, 1) guarded total>0."""
     counts = lineage.groupBy("status").agg(F.count("*").alias("n"))

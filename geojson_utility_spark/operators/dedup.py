@@ -20,6 +20,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Fan a narrow input out to cluster parallelism BEFORE a row-exploding stage.
+
+    The shingle/token explodes amplify rows ~300x, but a narrow map cannot re-split
+    a stage: a source with fewer partitions than cores (one small parquet file, a
+    driver-created frame) serializes the whole explode+hash pipeline on one task.
+    Repartition ONLY in that case — a trillion-row input already carries thousands
+    of partitions and must not pay a gratuitous full shuffle."""
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def dedup_exact(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per distinct content value (deterministic winner).
 
@@ -78,9 +96,12 @@ def minhash_signatures(
     # normalize ONCE per doc, then explode a position sequence and slice with a
     # codegen substring — no per-row array-of-strings materialization, no interpreted
     # higher-order lambda, no re-evaluated regexp per shingle
-    norm = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    norm = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+        ),
+        "doc_id",
     )
     exploded = norm.select(
         "doc_id",
@@ -160,9 +181,12 @@ def jaccard_pairs(
     )
     # codegen shingle stream (normalize once -> explode positions -> substring):
     # exploding an interpreted-transform ARRAY costs ~20 ms/row; this is ~100x faster
-    norm = df.join(needed, id_col, "left_semi").select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    norm = _spread(
+        df.join(needed, id_col, "left_semi").select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+        ),
+        "doc_id",
     )
     sh_ex = (
         norm.select(
@@ -236,8 +260,9 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     vectorized sum aggregates (per-bit +1/-1 votes, map-side partial agg) -> sign
     bitmap assembled with bitwise ORs.  Single shuffle on doc_id; no Python anywhere.
     """
-    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    exploded = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens).alias("tok"))
+    exploded = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")), "doc_id").select(
+        "doc_id", F.explode(F.split(F.trim(F.regexp_replace(F.lower(F.col("_t")), r"\s+", " ")), " ")).alias("tok")
+    )
     hashed = exploded.withColumn("th", F.xxhash64("tok"))
     aggs = [
         F.sum(
@@ -420,9 +445,12 @@ def ngram_jaccard_pairs_exact(
     counts.  This is also the oracle-checkable verify stage of MinHash-LSH (the
     probabilistic pipeline's output is a subset of this result by construction).
     """
-    norm = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    norm = _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+        ),
+        "doc_id",
     )
     sh = (
         norm.select(

@@ -98,13 +98,13 @@ def knn_join(
     brute-force oracle for every point.
     """
     # optimizer rule (the broadcast-threshold analog): with a small target set the
-    # grid escalation's per-round jobs cost more than one broadcast cross join +
-    # window — brute force IS the optimal plan below a few hundred targets
+    # grid escalation's per-round jobs cost more than one zero-shuffle Arrow pass —
+    # brute force IS the optimal plan below a few hundred targets
     if (
         brute_force_threshold > 0
         and targets.limit(brute_force_threshold + 1).count() <= brute_force_threshold
     ):
-        return knn_brute_force(
+        return knn_brute_force_arrow(
             points, targets, k=k, point_id=point_id, target_id=target_id
         )
 
@@ -200,6 +200,88 @@ def _tile_frac_exprs(lat_col: str, lon_col: str, zoom: int):
     return xf, yf
 
 
+def knn_brute_force_arrow(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int = 3,
+    point_id: str = "point_id",
+    target_id: str = "target_id",
+    block: int = 8192,
+) -> DataFrame:
+    """Exact brute-force kNN as ONE zero-shuffle ``mapInArrow`` pass.
+
+    The window formulation (``knn_brute_force``) shuffles the full N x M candidate
+    cross product on point_id even though every point's candidates are born in the
+    same partition; this kernel keeps them there — each Arrow batch computes the
+    block x M haversine matrix in numpy and emits k rows per point directly.
+    Ordering parity: targets are pre-sorted by target_id, so a STABLE argsort on
+    distance breaks ties by target_id exactly like the (dist asc, target_id asc)
+    window order.  Blocks bound the point x target temporaries (8192 x M x 8 B)
+    inside cache, same discipline as functions/pip.py.
+    """
+    import numpy as np
+
+    from geojson_utility_spark.functions.pip import haversine_km
+
+    spark = points.sparkSession
+    trows = sorted(
+        targets.select(target_id, "lat", "lon").collect(), key=lambda r: r[0]
+    )
+    tids = [r[0] for r in trows]
+    tlat = np.asarray([r[1] for r in trows], dtype=np.float64)
+    tlon = np.asarray([r[2] for r in trows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((tids, tlat, tlon))
+
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").cast("double").alias("p_lat"),
+        F.col("lon").cast("double").alias("p_lon"),
+    )
+    pid_type = dict(pts.dtypes)["point_id"]
+    tid_type = dict(targets.select(target_id).dtypes)[target_id]
+    out_schema = (
+        f"point_id {pid_type}, target_id {tid_type}, dist_km double, knn_rank int"
+    )
+
+    def kernel(it):
+        import pyarrow as pa
+
+        ids, la, lo = bc.value
+        m = len(ids)
+        if m == 0:
+            return
+        kk = min(k, m)
+        tid_arr = pa.array(ids)
+        ranks = np.tile(np.arange(1, kk + 1, dtype=np.int32), block)
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            plat = batch.column("p_lat").to_numpy(zero_copy_only=False)
+            plon = batch.column("p_lon").to_numpy(zero_copy_only=False)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                b = e - s
+                d = haversine_km(
+                    plat[s:e, None], plon[s:e, None], la[None, :], lo[None, :]
+                )
+                # stable sort + id-sorted targets == (dist asc, target_id asc)
+                order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                rows = np.repeat(np.arange(s, e, dtype=np.int64), kk)
+                flat_t = order.reshape(-1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("point_id").take(pa.array(rows)),
+                        tid_arr.take(pa.array(flat_t)),
+                        pa.array(d[np.repeat(np.arange(b), kk), flat_t]),
+                        pa.array(ranks[: b * kk]),
+                    ],
+                    ["point_id", "target_id", "dist_km", "knn_rank"],
+                )
+
+    return pts.mapInArrow(kernel, out_schema)
+
+
 def knn_brute_force(
     points: DataFrame,
     targets: DataFrame,
@@ -207,7 +289,7 @@ def knn_brute_force(
     point_id: str = "point_id",
     target_id: str = "target_id",
 ) -> DataFrame:
-    """Cross-join baseline (oracle for tests / small target sets): exact, O(N*M)."""
+    """Cross-join + window baseline (the JVM-only oracle for tests): exact, O(N*M)."""
     pts = points.select(
         F.col(point_id).alias("point_id"),
         F.col("lat").alias("p_lat"),

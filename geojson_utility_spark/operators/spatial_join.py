@@ -273,6 +273,11 @@ def spatial_join(
     # refinement — it never crosses the Python boundary (which costs ~5 µs/row of core
     # time in Spark's row<->Arrow machinery and would otherwise dominate the join);
     # only boundary-cell candidates — O(perimeter), a small fraction — get ray-cast.
+    # The two broadcasts carry DISJOINT halves of the cover (interior cells vs
+    # boundary cells), so total broadcast volume equals one full cover.  (A single
+    # shared broadcast + post-join filters was tried and REGRESSED: Catalyst pushes
+    # the interior filter into the build side, defeating ReusedExchange, and each
+    # branch then ships the whole cover — 2x the rows of the disjoint split.)
     interior_matches = probe.join(
         F.broadcast(
             cover_idx.filter(F.col("interior")).select(

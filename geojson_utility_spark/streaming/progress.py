@@ -95,6 +95,60 @@ def with_event_fields(events: DataFrame) -> DataFrame:
     return events.withColumn("event_type", event_type_expr()).withColumn("progress_pct", pct)
 
 
+def with_heartbeats(
+    events: DataFrame, now: float, interval_s: float = 30.0
+) -> DataFrame:
+    """Interleave explicit heartbeat rows into the event feed — the set-oriented
+    re-expression of the reference's SSE idle heartbeat
+    (/root/reference/backend/routers/catchment.py:601-609: on a 30 s asyncio timeout
+    the loop yields ``{"type": "heartbeat", "csv_id", "timestamp"}``).
+
+    For each run, a heartbeat is emitted every ``interval_s`` seconds of silence:
+    between consecutive events, and between the last event and ``now`` unless the
+    run reached a terminal status (the SSE loop closes on 'complete', so nothing
+    beats after it).  Pure Catalyst: one lead() window + sequence/explode — no
+    driver loop, scales with runs x gaps.
+
+    Returns the union of real events (event_type from the trigger CASE) and
+    heartbeat rows (event_type='heartbeat', progress fields null), ordered by
+    (run_id, emitted_at, seq).
+    """
+    typed = with_event_fields(events)
+    w = Window.partitionBy("run_id").orderBy("seq")
+    nxt = F.lead("emitted_at").over(w)
+    is_terminal = F.col("status").isin(*TERMINAL_STATUSES)
+    # silence window after this event: until the next event, or until `now` for the
+    # last event of a still-open run (terminal events close the feed)
+    gap_end = F.coalesce(nxt, F.when(~is_terminal, F.lit(float(now))))
+    n_beats = F.floor(
+        (gap_end - F.col("emitted_at")) / F.lit(float(interval_s))
+    ).cast("int")
+    beats = (
+        typed.withColumn("_n_beats", F.coalesce(n_beats, F.lit(0)))
+        .filter(F.col("_n_beats") >= 1)
+        .select(
+            "run_id",
+            "seq",
+            "emitted_at",
+            F.explode(F.sequence(F.lit(1), F.col("_n_beats"))).alias("_i"),
+        )
+        .select(
+            "run_id",
+            F.col("seq"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("int").alias("completed"),
+            F.lit(None).cast("int").alias("failed"),
+            F.lit(None).cast("int").alias("total"),
+            (F.col("emitted_at") + F.col("_i") * F.lit(float(interval_s))).alias(
+                "emitted_at"
+            ),
+            F.lit("heartbeat").alias("event_type"),
+            F.lit(None).cast("double").alias("progress_pct"),
+        )
+    )
+    return typed.unionByName(beats).orderBy("run_id", "emitted_at", "seq")
+
+
 def read_progress_stream(spark: SparkSession, event_dir: str) -> DataFrame:
     """Structured Streaming source over the event directory."""
     return (

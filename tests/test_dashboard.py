@@ -80,3 +80,54 @@ def test_downloadable_runs_gate(lineage):
     want = pdf[~pdf["status"].isin(["pending", "processing"])]
     assert len(got) == len(want)
     assert set(got["status"]) <= {"done", "partial", "failed"}
+
+
+def test_record_downloads_merge(spark, lineage):
+    """The reference's download mutation (catchment.py:636-663) as a set-oriented
+    merge: counts increment, last/first timestamps update, non-terminal rejected."""
+    import datetime as dt
+
+    import pandas as pd
+
+    df, pdf = lineage
+    done_row = pdf[pdf["status"] == "done"].iloc[0]
+    pending_row = pdf[pdf["status"].isin(["pending", "processing"])].iloc[0]
+    t1 = dt.datetime(2026, 2, 1, 10, 0, 0)
+    t2 = dt.datetime(2026, 2, 1, 12, 0, 0)
+    downloads = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "run_id": [int(done_row["run_id"])] * 2 + [int(pending_row["run_id"])],
+                "downloaded_at": [t1, t2, t2],
+            }
+        )
+    )
+    updated = DB.record_downloads(df, downloads).toPandas().set_index("run_id")
+    got = updated.loc[int(done_row["run_id"])]
+    assert got["download_count"] == done_row["download_count"] + 2
+    assert got["last_downloaded_at"] == t2
+    if pd.isna(done_row["first_downloaded_at"]):
+        assert got["first_downloaded_at"] == t1
+    else:
+        assert got["first_downloaded_at"] == done_row["first_downloaded_at"]
+    # non-terminal runs unchanged (the 400 path)
+    got_p = updated.loc[int(pending_row["run_id"])]
+    assert got_p["download_count"] == pending_row["download_count"]
+    rej = DB.rejected_downloads(df, downloads).toPandas()
+    assert len(rej) == 1 and "not ready yet" in rej.iloc[0]["errors"]
+    # unknown run id -> 404 error row
+    ghost = spark.createDataFrame(
+        pd.DataFrame({"run_id": [999999], "downloaded_at": [t1]})
+    )
+    rej2 = DB.rejected_downloads(df, ghost).toPandas()
+    assert rej2.iloc[0]["errors"] == "CSV file not found"
+    # dashboard consumes the updated rows: total_downloads rises by 2
+    uid = int(done_row["user_id"])
+    before = DB.total_downloads(df, uid).first()["total_downloads"]
+    after = DB.total_downloads(DB.record_downloads(df, downloads), uid).first()[
+        "total_downloads"
+    ]
+    assert after == before + 2
+    # user rollup
+    roll = DB.user_download_rollup(df, downloads).toPandas().set_index("user_id")
+    assert roll.loc[uid]["total_csvs_downloaded"] >= 2

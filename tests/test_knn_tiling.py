@@ -101,3 +101,31 @@ def test_rasterize_masks_match_pip(spark):
     want_tiles = set(C.polygon_to_cells(ring0, 12).tolist())
     got_tiles = set(masks[masks["polygon_id"] == pid0]["tile_cell"])
     assert got_tiles == want_tiles
+
+
+def test_knn_arrow_matches_window_brute_force(spark, knn_data):
+    """The zero-shuffle Arrow brute-force kernel (the small-target short-circuit)
+    must reproduce the JVM window formulation exactly: same (point, rank) -> target
+    assignment, distances equal to float tolerance (numpy vs JVM libm)."""
+    import numpy as np
+
+    pts_df, tgt_df = knn_data
+    k = 3
+    got = K.knn_brute_force_arrow(pts_df, tgt_df, k=k).toPandas()
+    want = K.knn_brute_force(pts_df, tgt_df, k=k).toPandas()
+    got_m = {(r.point_id, r.knn_rank): r.target_id for r in got.itertuples()}
+    want_m = {(r.point_id, r.knn_rank): r.target_id for r in want.itertuples()}
+    assert got_m == want_m
+    gd = got.sort_values(["point_id", "knn_rank"])["dist_km"].to_numpy()
+    wd = want.sort_values(["point_id", "knn_rank"])["dist_km"].to_numpy()
+    assert np.allclose(gd, wd, rtol=1e-12, atol=1e-9)
+    # plan shape: no exchange — the kernel emits final rows from the scan partition
+    plan = K.knn_brute_force_arrow(pts_df, tgt_df, k=k)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_knn_arrow_k_exceeds_targets(spark, knn_data):
+    pts_df, tgt_df = knn_data
+    n_tgt = tgt_df.count()
+    got = K.knn_brute_force_arrow(pts_df.limit(5), tgt_df, k=n_tgt + 10).toPandas()
+    assert set(got["knn_rank"].unique()) == set(range(1, n_tgt + 1))

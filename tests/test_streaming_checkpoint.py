@@ -153,3 +153,42 @@ def test_stateful_transitions(spark, tmp_path):
     assert r1["status"].tolist() == ["pending", "processing", "done"]
     assert r1["prev_status"].tolist() == [None, "pending", "processing"]
     assert out[out["run_id"] == 2]["status"].tolist() == ["pending"]
+
+
+def test_heartbeat_rows(spark):
+    """Explicit heartbeat events for idle gaps (reference catchment.py:601-609):
+    one per 30 s of silence between events, trailing beats for open runs, none
+    after terminal."""
+    import pandas as pd
+
+    from geojson_utility_spark.streaming.progress import with_heartbeats
+
+    events = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "run_id": [1, 1, 1, 2, 2],
+                "seq": [1, 2, 3, 4, 5],
+                "status": ["processing", "processing", "done",
+                           "processing", "pending"],
+                "completed": [0, 5, 10, 0, 3],
+                "failed": [0, 0, 0, 0, 0],
+                "total": [10, 10, 10, 10, 10],
+                # run 1: 75 s gap (2 beats), then terminal at t=100
+                # run 2: last event t=40, still open at now=130 -> 3 trailing beats
+                "emitted_at": [0.0, 75.0, 100.0, 10.0, 40.0],
+            }
+        )
+    )
+    out = with_heartbeats(events, now=130.0, interval_s=30.0).toPandas()
+    hb = out[out["event_type"] == "heartbeat"]
+    r1 = hb[hb["run_id"] == 1]["emitted_at"].tolist()
+    r2 = hb[hb["run_id"] == 2]["emitted_at"].tolist()
+    assert r1 == [30.0, 60.0]          # inside the 0->75 gap; none after 'done'
+    assert r2 == [40.0, 70.0, 100.0, 130.0]  # 10->40 gap beat + trailing beats
+    # real events all present with their trigger types
+    real = out[out["event_type"] != "heartbeat"]
+    assert len(real) == 5
+    assert set(real["event_type"]) == {"start", "update", "complete"}
+    # feed ordering: heartbeats interleave chronologically per run
+    per_run = out[out["run_id"] == 1]["emitted_at"].tolist()
+    assert per_run == sorted(per_run)
