@@ -61,11 +61,28 @@ def windowed_counts(
 
 
 def run_windowed_query(
-    spark: SparkSession, path_dir: str, sink_table: str = "windowed_events", **kw
+    spark: SparkSession,
+    path_dir: str,
+    sink_table: str = "windowed_events",
+    output_mode: str = "append",
+    **kw,
 ) -> "StreamingQuery":  # noqa: F821
+    """Start the windowed-count stream.
+
+    ``output_mode='append'`` (default) is the only mode where the watermark does its
+    job: a window is emitted exactly once, when the watermark passes its end, and its
+    state is then EVICTED — bounded state for an unbounded stream, late rows beyond
+    the watermark dropped.  ('complete' re-emits every window each trigger, ignores
+    the watermark for eviction, and grows both state and a memory sink without bound
+    — only suitable for small finite debugging feeds, so it is not the default.)
+
+    Append-mode consequence a caller must know: a window stays unemitted until a
+    LATER event advances the watermark past its end — a quiesced feed holds back its
+    final windows until the next event arrives (tests advance it with a sentinel).
+    """
     q = (
         windowed_counts(read_events_stream(spark, path_dir), **kw)
-        .writeStream.outputMode("complete")
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(sink_table)
         .start()

@@ -101,13 +101,46 @@ def test_windowed_streaming_matches_batch(spark, tmp_path, sf_dir):
         windowed_counts,
     )
 
+    import datetime as dt
+
     src = str(tmp_path / "events_stream")
     os.makedirs(src, exist_ok=True)
     shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    # append mode emits a window only when the watermark passes its end — a sentinel
+    # event far past max_ts flushes every real window (and is itself never emitted)
+    sentinel_ts = max_ts + dt.timedelta(hours=48)
+    sentinel = spark.createDataFrame(
+        [(10**9, sentinel_ts, 0, "sentinel", 0.0, "{}")], schema=events.schema
+    )
+
+    def feed(df, name):
+        # the file source lists FILES in src, not nested dirs — stage the parquet
+        # and move its part file in flat
+        import glob
+
+        out = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(out)
+        shutil.copy(glob.glob(out + "/part-*.parquet")[0], f"{src}/{name}.parquet")
     q = run_windowed_query(spark, src, sink_table="win_test", window="6 hours")
     try:
         q.processAllAvailable()
+        # windows ending within the 2 h watermark of max_ts are still open —
+        # the tail of the feed must be held back until the watermark passes it
+        n_before = spark.sql("SELECT count(*) FROM win_test").first()[0]
+        feed(sentinel, "sentinel")
+        q.processAllAvailable()
         got = spark.sql("SELECT * FROM win_test").toPandas()
+        # watermark behavior: a row older than the watermark must be DROPPED —
+        # its (already-emitted) window shows no second emission
+        late = spark.createDataFrame(
+            [(10**9 + 1, max_ts - dt.timedelta(hours=30), 0, "late_evt", 1.0, "{}")],
+            schema=events.schema,
+        )
+        feed(late, "late")
+        q.processAllAvailable()
+        got_after_late = spark.sql("SELECT * FROM win_test").toPandas()
     finally:
         q.stop()
     batch = (
@@ -117,9 +150,12 @@ def test_windowed_streaming_matches_batch(spark, tmp_path, sf_dir):
     key = ["window_start", "event_type"]
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = batch.sort_values(key).reset_index(drop=True)
+    assert n_before < len(want_s)  # tail windows were held back pre-sentinel
     assert len(got_s) == len(want_s)
     assert (got_s["n"].to_numpy() == want_s["n"].to_numpy()).all()
     assert (abs(got_s["total_value"].to_numpy() - want_s["total_value"].to_numpy()) < 1e-9).all()
+    assert len(got_after_late) == len(got_s)  # late row dropped, nothing re-emitted
+    assert "late_evt" not in set(got_after_late["event_type"])
 
 
 def test_stateful_transitions(spark, tmp_path):
