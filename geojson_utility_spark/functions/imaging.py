@@ -101,24 +101,44 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def _unfilter_seq(ftype: int, line: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Exact unfilter for the sequential filter types (PNG spec §6.4-6.6).
+
+    Sub (1) is a closed form: out[i] = raw[i] + out[i-3] per byte lane, i.e. a
+    per-lane cumulative sum mod 256 — one vectorized ``np.add.accumulate`` with
+    uint8 wraparound, no loop at all.
+
+    Average (3) and Paeth (4) have a true left-neighbor data dependency (each output
+    byte feeds the next prediction THROUGH a floor-divide / magnitude comparison),
+    so no prefix-scan closed form exists; they run as a per-byte loop over plain
+    Python ints (bytearray/list) — ~10x faster than the numpy-scalar-indexing loop
+    (each ``arr[i]`` on a numpy array allocates a scalar object; list indexing does
+    not).  Real-world encoders emit Sub/Up/None for most rows, so the vectorized
+    paths carry the bulk of a typical corpus.
+    """
     bpp = 3
-    line = line.astype(np.int32)
-    prev32 = prev.astype(np.int32)
-    out = np.zeros_like(line)
-    for i in range(len(line)):
-        a = out[i - bpp] if i >= bpp else 0
-        b = prev32[i]
-        c = prev32[i - bpp] if i >= bpp else 0
-        if ftype == 1:
-            out[i] = (line[i] + a) & 0xFF
-        elif ftype == 3:
-            out[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-        else:  # Paeth
+    if ftype == 1:  # Sub: per-lane uint8 cumsum (wraparound == mod-256 arithmetic)
+        lanes = line.reshape(-1, bpp)
+        return np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
+    x = line.tolist()
+    pv = prev.tolist()
+    n = len(x)
+    out = [0] * n
+    if ftype == 3:  # Average
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            out[i] = (x[i] + ((a + pv[i]) >> 1)) & 0xFF
+    else:  # Paeth
+        for i in range(n):
+            a = out[i - bpp] if i >= bpp else 0
+            b = pv[i]
+            c = pv[i - bpp] if i >= bpp else 0
             p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
             pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-            out[i] = (line[i] + pred) & 0xFF
-    return out.astype(np.uint8)
+            out[i] = (x[i] + pred) & 0xFF
+    return np.asarray(out, dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------

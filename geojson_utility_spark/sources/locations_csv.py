@@ -32,9 +32,12 @@ def read_locations_csv(
     if enforce_reference_limits:
         size = os.path.getsize(path)
         if size > MAX_UPLOAD_BYTES:
-            raise ValueError("File too large. Please upload a CSV file under 10MB.")
+            # VERBATIM reference message incl. its "2MB" quirk — the code enforces
+            # 10 MB while the text claims 2 MB (catchment.py:138-140); golden
+            # parity reproduces the string exactly, limit follows the code
+            raise ValueError("CSV file too large (max 2MB)")
         if not path.endswith(".csv"):
-            raise ValueError("Invalid file type. Please upload a CSV file.")
+            raise ValueError("File must be a CSV with a valid filename")
     df = (
         spark.read.option("header", True)
         .option("inferSchema", False)
@@ -43,7 +46,7 @@ def read_locations_csv(
     )
     df = normalize_headers(df)
     if enforce_reference_limits and df.count() > MAX_ROWS:
-        raise ValueError("CSV file exceeds maximum allowed rows (1000).")
+        raise ValueError("CSV file has too many rows (max 1000)")
     return df
 
 

@@ -121,3 +121,60 @@ def test_lineage_fixture():
     assert len(df) == 200
     assert set(df["status"]) <= {"pending", "processing", "done", "partial", "failed"}
     assert df["created_at"].notna().all()
+
+
+def test_png_all_filter_types_roundtrip():
+    """decode_png must invert every standard scanline filter (spec §6): forward-filter
+    a known image per type, wrap as PNG, decode, require exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geojson_utility_spark.functions import imaging as I
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 53
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    bpp = 3
+
+    def forward(ftype, cur, prev):
+        cur = cur.astype(np.int32)
+        prev = prev.astype(np.int32)
+        out = np.empty_like(cur)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0  # RECON left (unfiltered source)
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (cur[i] - pred) & 0xFF
+        return out.astype(np.uint8)
+
+    flat = px.reshape(h, w * bpp)
+    for ftype in range(5):
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.uint8)
+        for r in range(h):
+            raw.append(ftype)
+            raw.extend(forward(ftype, flat[r], prev).tobytes())
+            prev = flat[r]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            I._PNG_SIG
+            + I._chunk(b"IHDR", ihdr)
+            + I._chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + I._chunk(b"IEND", b"")
+        )
+        got = I.decode_png(png)
+        assert (got == px).all(), f"filter type {ftype} roundtrip failed"

@@ -266,3 +266,29 @@ def test_enrichment_matches_committed_golden(spark):
         got_col = out[col].fillna("").tolist()
         want_col = golden[col].fillna("").tolist()
         assert got_col == want_col, f"golden mismatch in column {col}"
+
+
+def test_p3_reference_verbatim_messages(spark, tmp_path):
+    """P3 golden parity: error strings verbatim from the reference, INCLUDING the
+    2MB-text-vs-10MB-code quirk (catchment.py:138-140 says 'max 2MB' while
+    enforcing 10 MB; code wins on the limit, text reproduced exactly)."""
+    import pytest as _pytest
+
+    from geojson_utility_spark.sources.locations_csv import read_locations_csv
+
+    big = tmp_path / "big.csv"
+    big.write_bytes(b"h\n" + b"x" * (10 * 1024 * 1024 + 1))
+    with _pytest.raises(ValueError, match=r"CSV file too large \(max 2MB\)"):
+        read_locations_csv(spark, str(big), enforce_reference_limits=True)
+    notcsv = tmp_path / "data.txt"
+    notcsv.write_text("a,b\n1,2\n")
+    with _pytest.raises(ValueError, match="File must be a CSV with a valid filename"):
+        read_locations_csv(spark, str(notcsv), enforce_reference_limits=True)
+    many = tmp_path / "many.csv"
+    many.write_text("a\n" + "\n".join(str(i) for i in range(1001)))
+    with _pytest.raises(ValueError, match=r"CSV file has too many rows \(max 1000\)"):
+        read_locations_csv(spark, str(many), enforce_reference_limits=True)
+    # just-under limits pass
+    ok = tmp_path / "ok.csv"
+    ok.write_text("a\n" + "\n".join(str(i) for i in range(1000)))
+    assert read_locations_csv(spark, str(ok), enforce_reference_limits=True).count() == 1000
