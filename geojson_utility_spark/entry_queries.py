@@ -441,6 +441,57 @@ def oracle_validate_id_fields() -> str:
     )
 
 
+def q_heartbeat_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 heartbeat/liveness: the idle-gap heartbeat operator over a feed derived
+    from the events table (run=user, seq=event_id, emitted_at=epoch seconds), with a
+    deterministic ``now`` anchored at max(ts)+1 day and a 6 h interval — every beat
+    time is exact double arithmetic, so the oracle hash-matches."""
+    from geojson_utility_spark.streaming.progress import with_heartbeats
+
+    register_views(spark, sf_dir)
+    feed = spark.table("events").select(
+        F.col("user_id").cast("int").alias("run_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("status"),
+        F.lit(0).alias("completed"),
+        F.lit(0).alias("failed"),
+        F.lit(0).alias("total"),
+        # UTC session tz: NTZ -> timestamp is identity; micros/1e6 is the same
+        # IEEE division DuckDB's epoch() performs -> identical doubles
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)).alias(
+            "emitted_at"
+        ),
+    )
+    now = feed.agg(F.max("emitted_at")).first()[0] + 86400.0
+    out = with_heartbeats(feed, now=now, interval_s=21600.0)
+    return out.select("run_id", "seq", "event_type", "emitted_at")
+
+
+def oracle_heartbeat_events() -> str:
+    terminal = "('done','partial','failed')"
+    case = (
+        "CASE WHEN status = 'processing' THEN 'start' "
+        f"WHEN status IN {terminal} THEN 'complete' ELSE 'update' END"
+    )
+    return (
+        "WITH ev AS (SELECT user_id::INT AS run_id, event_id AS seq, "
+        "event_type AS status, epoch(ts)::DOUBLE AS emitted_at FROM events), "
+        "anchor AS (SELECT max(emitted_at) + 86400.0 AS now FROM ev), "
+        f"typed AS (SELECT run_id, seq, status, emitted_at, {case} AS event_type, "
+        "lead(emitted_at) OVER (PARTITION BY run_id ORDER BY seq) AS nxt FROM ev), "
+        "gaps AS (SELECT run_id, seq, emitted_at, "
+        "coalesce(nxt, CASE WHEN status NOT IN " + terminal + " THEN "
+        "(SELECT now FROM anchor) END) AS gap_end FROM typed), "
+        "beats AS (SELECT run_id, seq, 'heartbeat' AS event_type, "
+        "emitted_at + i * 21600.0 AS emitted_at FROM ("
+        "SELECT run_id, seq, emitted_at, unnest(range(1, "
+        "(CASE WHEN gap_end IS NULL THEN 0 ELSE "
+        "floor((gap_end - emitted_at) / 21600.0)::BIGINT END) + 1)) AS i FROM gaps) t) "
+        "SELECT run_id, seq, event_type, emitted_at FROM typed "
+        "UNION ALL SELECT run_id, seq, event_type, emitted_at FROM beats"
+    )
+
+
 def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 hash/crypto family (reference backend/core/security.py:3-7 hashes
     secrets with sha256; auth.py:22 mints uuid tokens): sha2-256 + md5 digests and
@@ -818,7 +869,51 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8)
+    return lsh_topk(emb, queries, k=5, n_bits=4, n_tables=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def oracle_lsh_ann_topk() -> str:
+    """Hard oracle for sign-LSH ANN: the hyperplanes are CONSTANTS (seeded
+    numpy, embedded as literals), so signatures are pure sign-of-dot-product
+    arithmetic — no transcendentals, reproducible in SQL.  Bucket join + exact
+    cosine re-rank mirror operators/similarity.lsh_topk step for step."""
+    import numpy as np
+
+    from geojson_utility_spark.operators.similarity import _hyperplanes
+
+    n_bits, n_tables, dim, k = 4, 8, 64, 5
+    sig_selects = []
+    for t in range(n_tables):
+        planes = np.asarray(_hyperplanes(dim, n_bits, 42 + t))
+        bits = []
+        for i in range(n_bits):
+            dot = " + ".join(
+                f"embedding[{j + 1}] * ({planes[i, j]!r})" for j in range(dim)
+            )
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+        sig_selects.append(
+            f"SELECT vec_id, {t} AS t, ({' + '.join(bits)})::BIGINT AS sig "
+            "FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(sig_selects)
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[])))"
+    )
+    return (
+        f"WITH sigs AS ({sigs}), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS vec_id "
+        "FROM sigs s JOIN sigs q ON s.t = q.t AND s.sig = q.sig "
+        "WHERE q.vec_id < 5), "
+        "scored AS (SELECT c.query_id, c.vec_id, row_number() OVER ("
+        f"PARTITION BY c.query_id ORDER BY {cos} DESC, c.vec_id) AS rank "
+        "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id "
+        "JOIN embeddings qe ON qe.vec_id = c.query_id) "
+        f"SELECT query_id, vec_id, rank FROM scored WHERE rank <= {k}"
+    )
 
 
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_fingerprint_winner": q_dedup_fingerprint,
             "json_extract": q_json_extract,
             "hash_functions": q_hash_functions,
+            "heartbeat_events": q_heartbeat_events,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
@@ -918,9 +1014,11 @@ def oracle_sql() -> dict[str, str]:
             "json_extract": oracle_json_extract(),
             "flagship_image_join": oracle_flagship_image_join(),
             "hash_functions": oracle_hash_functions(),
+            "heartbeat_events": oracle_heartbeat_events(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),
+            "lsh_ann_topk": oracle_lsh_ann_topk(),
         }
     )
     return out

@@ -99,14 +99,24 @@ def knn_join(
     """
     # optimizer rule (the broadcast-threshold analog): with a small target set the
     # grid escalation's per-round jobs cost more than one zero-shuffle Arrow pass —
-    # brute force IS the optimal plan below a few hundred targets
-    if (
-        brute_force_threshold > 0
-        and targets.limit(brute_force_threshold + 1).count() <= brute_force_threshold
-    ):
-        return knn_brute_force_arrow(
-            points, targets, k=k, point_id=point_id, target_id=target_id
+    # brute force IS the optimal plan below a few hundred targets.  ONE probe job:
+    # the limit(threshold+1) collect doubles as the kernel's target list, so the
+    # small-target path never runs a separate count() + collect().
+    if brute_force_threshold > 0:
+        sample = (
+            targets.select(target_id, "lat", "lon")
+            .limit(brute_force_threshold + 1)
+            .collect()
         )
+        if len(sample) <= brute_force_threshold:
+            return knn_brute_force_arrow(
+                points,
+                targets,
+                k=k,
+                point_id=point_id,
+                target_id=target_id,
+                _collected_targets=sample,
+            )
 
     pts = points.select(
         F.col(point_id).alias("point_id"),
@@ -207,6 +217,7 @@ def knn_brute_force_arrow(
     point_id: str = "point_id",
     target_id: str = "target_id",
     block: int = 8192,
+    _collected_targets: list | None = None,
 ) -> DataFrame:
     """Exact brute-force kNN as ONE zero-shuffle ``mapInArrow`` pass.
 
@@ -225,7 +236,10 @@ def knn_brute_force_arrow(
 
     spark = points.sparkSession
     trows = sorted(
-        targets.select(target_id, "lat", "lon").collect(), key=lambda r: r[0]
+        _collected_targets
+        if _collected_targets is not None
+        else targets.select(target_id, "lat", "lon").collect(),
+        key=lambda r: r[0],
     )
     tids = [r[0] for r in trows]
     tlat = np.asarray([r[1] for r in trows], dtype=np.float64)
