@@ -916,6 +916,21 @@ def oracle_lsh_ann_topk() -> str:
     )
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file / k-means coarse quantizer) ANN — the clustered scale path
+    beside sign-LSH.  Rows-only: the k-means centroids are iterative float means,
+    not SQL-expressible; recall and the n_probe==n_lists==exact property are pinned
+    by tests/test_dedup_text_sim.py::test_ivf_topk_recall_and_exactness."""
+    from geojson_utility_spark.operators.similarity import ivf_topk
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: decode binary image column in mapInPandas batches,
     verify dims + PSNR + caption (input_hint per-row invariant)."""
@@ -985,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "minhash_near_dups": q_minhash_near_dups,
             "simhash": q_simhash,
             "lsh_ann_topk": q_lsh_ann_topk,
+            "ivf_ann_topk": q_ivf_ann_topk,
             "image_decode_verify": q_image_decode_verify,
             "phash_near_dups": q_phash_near_dups,
             "rasterize_masks": q_rasterize_masks,

@@ -135,6 +135,150 @@ def cosine_topk(
     )
 
 
+def _kmeans_fit(train: np.ndarray, n_lists: int, n_iter: int, seed: int) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a (deterministic) training sample.
+
+    The coarse quantizer of an IVF index needs only a representative sample — the
+    classic FAISS recipe trains on ~max(10k, 50*n_lists) vectors regardless of N.
+    Pure numpy: (n, d) x (k, d) distance via the ||a-b||^2 expansion, argmin assign,
+    mean update; empty clusters re-seeded deterministically from the farthest points.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(train)
+    cents = train[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (train * train).sum(axis=1)[:, None]
+            - 2.0 * (train @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = train[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:  # re-seed empty list from the point farthest from its centroid
+                cents[c] = train[d2.min(axis=1).argmax()]
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_train: int = 10_000,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered counterpart to sign-LSH.
+
+    Index: a coarse k-means quantizer (trained driver-side on a DETERMINISTIC sample
+    — every ~N/n_train-th vector by a hash of its id, so the index is reproducible)
+    partitions vectors into ``n_lists`` inverted lists; each query probes its
+    ``n_probe`` nearest lists and exactly re-ranks only those lists' members.
+
+    Physical plan: ONE scan of the vector table — the Arrow kernel assigns each
+    batch to lists with a numpy argmin AND computes the exact cosine to every query
+    probing that list in the same pass (broadcast centroid + query matrices), then
+    emits only per-(query, batch) tie-safe top-k rows.  Zero shuffle of the vector
+    table, no candidate materialization at all — strictly less traffic than the LSH
+    bucket join.  Recall ~ n_probe/n_lists-tunable, exact when n_probe == n_lists.
+    """
+    spark = vectors.sparkSession
+    qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], "query_id string, vec_id string, "
+                                         "cosine double, rank int")
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    # deterministic training sample: hash-spaced over ids (NOT limit/sample, whose
+    # row choice depends on partition layout)
+    n_total = vectors.count()
+    every = max(1, n_total // n_train)
+    train_rows = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(every)) == 0).collect()
+    train = np.asarray([list(r["_v"]) for r in train_rows], dtype=np.float64)
+    cents = _kmeans_fit(train, n_lists, n_iter, seed)
+
+    # per-query probe lists: n_probe nearest centroids by cosine
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    qc = (qmat @ cents.T) / np.maximum(qnorm[:, None] * cnorm[None, :], 1e-300)
+    probe = np.argsort(-qc, axis=1)[:, :n_probe]  # (Q, n_probe)
+    # invert: list -> array of query indices probing it
+    probing = {c: np.nonzero((probe == c).any(axis=1))[0] for c in range(len(cents))}
+    bc = spark.sparkContext.broadcast((cents, qmat, qnorm, probing))
+
+    pid_type = dict(v.dtypes)["vec_id"]
+    out_schema = f"vec_id {pid_type}, _qidx int, cosine double"
+
+    def kernel(it):
+        import pyarrow as pa
+
+        cen, qm, qn, prob = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            d2 = (
+                (vm * vm).sum(axis=1)[:, None]
+                - 2.0 * (vm @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            rows_out, qidx_out, cos_out = [], [], []
+            for c in np.unique(assign):
+                qs = prob.get(int(c))
+                if qs is None or len(qs) == 0:
+                    continue
+                members = np.nonzero(assign == c)[0]
+                denom = vnorm[members, None] * qn[qs][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(
+                        denom > 0, (vm[members] @ qm[qs].T) / denom, 0.0
+                    )
+                m = len(members)
+                if m > k:
+                    kth = np.partition(cos, m - k, axis=0)[m - k, :]
+                    keep = cos >= kth[None, :]
+                else:
+                    keep = np.ones((m, len(qs)), dtype=bool)
+                mi, qj = np.nonzero(keep)
+                rows_out.append(members[mi])
+                qidx_out.append(qs[qj])
+                cos_out.append(cos[mi, qj])
+            if not rows_out:
+                continue
+            rows = np.concatenate(rows_out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(pa.array(rows)),
+                    pa.array(np.concatenate(qidx_out).astype(np.int32)),
+                    pa.array(np.concatenate(cos_out)),
+                ],
+                ["vec_id", "_qidx", "cosine"],
+            )
+
+    local = v.mapInArrow(kernel, out_schema)
+    qmap = spark.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], ["_qidx", "query_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.join(F.broadcast(qmap), "_qidx")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()

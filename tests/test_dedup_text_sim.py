@@ -265,3 +265,27 @@ def test_ngram_jaccard_exact_matches_numpy(spark, docs):
         if j >= 0.4:
             want[(a, b)] = j
     assert {tuple(r[:2]): r[2] for r in got[["doc_a", "doc_b", "jaccard"]].values} == pytest.approx(want)
+
+
+def test_ivf_topk_recall_and_exactness(spark, embeddings):
+    """IVF ANN: probing all lists == exact brute force; partial probe has high recall."""
+    from pyspark.sql import functions as F
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(embeddings, queries, k=3).toPandas()
+    full = S.ivf_topk(embeddings, queries, k=3, n_lists=8, n_probe=8).toPandas()
+    key = lambda df: {(r.query_id, r.knn) if False else (r.query_id, r.rank): r.vec_id
+                      for r in df.itertuples()}
+    assert key(full) == key(exact)  # n_probe == n_lists -> exact
+    approx = S.ivf_topk(embeddings, queries, k=3, n_lists=8, n_probe=3).toPandas()
+    ex_pairs = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    ap_pairs = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    assert len(ex_pairs & ap_pairs) >= int(0.6 * len(ex_pairs))
+    # plan: vector table never shuffles (kernel emits final candidates from the scan)
+    plan = (
+        S.ivf_topk(embeddings, queries, k=3, n_lists=8, n_probe=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan

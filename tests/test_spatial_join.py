@@ -114,3 +114,29 @@ def test_cell_heat_stats(spark, data):
     assert heat["n_points"].sum() == len(pts)
     # skew present: hottest cell should hold many points (Delhi blob)
     assert heat["n_points"].iloc[0] > len(pts) * 0.01
+
+
+def test_single_scan_matches_default(spark):
+    """single_scan=True (one scan + kernel passthrough) must produce the identical
+    match set as the default two-branch plan, and its plan must contain exactly one
+    point-side broadcast join."""
+    pts = spark.createDataFrame(
+        FX.image_point([f"img_{i:012d}" for i in range(20000)])
+    ).withColumnRenamed("image_id", "point_id")
+    polys = spark.createDataFrame(FX.make_polygons(30)[["polygon_id", "geojson"]])
+    a = (
+        SJ.spatial_join(pts, polys, compact=True)
+        .select("point_id", "polygon_id")
+        .toPandas()
+        .sort_values(["point_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        SJ.spatial_join(pts, polys, compact=True, single_scan=True)
+        .select("point_id", "polygon_id")
+        .toPandas()
+        .sort_values(["point_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
