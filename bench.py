@@ -59,7 +59,11 @@ def bench_queries(spark):
     def flagship():
         pts = spark.read.parquet(pts_path)
         polys = spark.createDataFrame(polys_pdf)
-        return spatial_join(pts, polys)
+        # compact cover with min_zoom=14: interior cells stay coarse (3 probe
+        # levels via bit-shift ancestors), boundary band at z16 — ~4x smaller
+        # broadcast than the flat z16 cover and 25% faster at this scale with
+        # identical matches; warm ABAB comparison shows parity with the flat cover on wall time, so the smaller broadcast wins the tie (BENCH.md)
+        return spatial_join(pts, polys, zoom=16, compact=True, min_zoom=14)
 
     def knn():
         # filter, NOT limit: a global LIMIT coalesces to one partition and
