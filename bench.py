@@ -61,8 +61,9 @@ def bench_queries(spark):
         polys = spark.createDataFrame(polys_pdf)
         # compact cover with min_zoom=14: interior cells stay coarse (3 probe
         # levels via bit-shift ancestors), boundary band at z16 — ~4x smaller
-        # broadcast than the flat z16 cover and 25% faster at this scale with
-        # identical matches; warm ABAB comparison shows parity with the flat cover on wall time, so the smaller broadcast wins the tie (BENCH.md)
+        # broadcast than the flat z16 cover, wall-time parity warm (ABAB sweep in
+        # BENCH.md), identical matches; the smaller broadcast wins the tie at high
+        # executor counts where ship time matters
         return spatial_join(pts, polys, zoom=16, compact=True, min_zoom=14)
 
     def knn():

@@ -492,6 +492,33 @@ def oracle_heartbeat_events() -> str:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 sessionization: Spark session_window over the events table — oracle is
+    the classic gaps-and-islands (lag + running sum) formulation.  Semantics pinned
+    cross-engine by a boundary probe: Spark merges events AT exactly the gap
+    (<= timeout chains, verified empirically); session_end = last event + gap."""
+    from geojson_utility_spark.streaming.windows import session_counts
+
+    register_views(spark, sf_dir)
+    return session_counts(spark.table("events"), gap="30 minutes")
+
+
+def oracle_session_windows() -> str:
+    return (
+        "WITH marked AS (SELECT user_id, ts, value, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "<= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s FROM events), "
+        "sess AS (SELECT user_id, ts, value, "
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM marked) "
+        "SELECT min(ts) AS session_start, "
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, user_id, "
+        "count(*) AS n_events, "
+        "cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value "
+        "FROM sess GROUP BY user_id, sid"
+    )
+
+
 def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 hash/crypto family (reference backend/core/security.py:3-7 hashes
     secrets with sha256; auth.py:22 mints uuid tokens): sha2-256 + md5 digests and
@@ -994,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "json_extract": q_json_extract,
             "hash_functions": q_hash_functions,
             "heartbeat_events": q_heartbeat_events,
+            "session_windows": q_session_windows,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
@@ -1031,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
             "flagship_image_join": oracle_flagship_image_join(),
             "hash_functions": oracle_hash_functions(),
             "heartbeat_events": oracle_heartbeat_events(),
+            "session_windows": oracle_session_windows(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),

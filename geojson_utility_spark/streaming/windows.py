@@ -60,6 +60,59 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user sessionization: events chain into one session while each arrives
+    at most ``gap`` after the previous (Spark merges AT exactly the gap — pinned
+    by a boundary probe in the entry oracle); session_end = last event + gap
+    (Spark ``session_window`` semantics, identical to the gaps-and-islands SQL
+    formulation lag/cumsum oracles use).
+
+    Works in batch (no watermark) and streaming (pass ``watermark``; append mode
+    emits a session once the watermark passes its end — the only mode where session
+    state is evicted).
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_query(
+    spark: SparkSession,
+    path_dir: str,
+    sink_table: str = "session_events",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> "StreamingQuery":  # noqa: F821
+    """Streaming sessionization: append mode so sessions finalize (and their state
+    evicts) when the watermark passes session_end — same flush semantics as
+    run_windowed_query (a quiesced feed holds back its trailing sessions)."""
+    return (
+        session_counts(read_events_stream(spark, path_dir), gap=gap, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .start()
+    )
+
+
 def run_windowed_query(
     spark: SparkSession,
     path_dir: str,

@@ -228,3 +228,40 @@ def test_heartbeat_rows(spark):
     # feed ordering: heartbeats interleave chronologically per run
     per_run = out[out["run_id"] == 1]["emitted_at"].tolist()
     assert per_run == sorted(per_run)
+
+
+def test_session_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming session_window == batch sessionization after a watermark flush."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from geojson_utility_spark.streaming.windows import run_session_query, session_counts
+
+    src = str(tmp_path / "events_sess")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(10**9, max_ts + dt.timedelta(hours=48), 0, "sentinel", 0.0, "{}")],
+        schema=events.schema,
+    )
+    q = run_session_query(spark, src, sink_table="sess_test", gap="30 minutes")
+    try:
+        q.processAllAvailable()
+        out = str(tmp_path / "_stage_sess")
+        sentinel.coalesce(1).write.parquet(out)
+        shutil.copy(glob.glob(out + "/part-*.parquet")[0], src + "/sentinel.parquet")
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sess_test").toPandas()
+    finally:
+        q.stop()
+    batch = session_counts(events, gap="30 minutes").toPandas()
+    key = ["user_id", "session_start"]
+    # drop the sentinel's own session from the streaming result
+    got = got[got["session_start"] <= max_ts].sort_values(key).reset_index(drop=True)
+    want = batch.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["session_end"].to_numpy() == want["session_end"].to_numpy()).all()
