@@ -492,6 +492,41 @@ def oracle_heartbeat_events() -> str:
     )
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
+    hash — a hard oracle for the aggregation machinery the production xxhash64
+    family shares (same explode -> per-bit vote sums -> sign assembly)."""
+    from geojson_utility_spark.operators.dedup import simhash64
+
+    register_views(spark, sf_dir)
+    return simhash64(spark.table("documents"), "text", "doc_id", hash_family="md5")
+
+
+def oracle_simhash_md5() -> str:
+    # token hash = first 15 hex chars of md5 -> 60-bit int (per-hex-digit strpos
+    # arithmetic; DuckDB has no conv());  votes: sum(+1/-1) per bit; assembly:
+    # sum of 2^b over positive-vote bits
+    hexval = (
+        "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)::BIGINT"
+    )
+    th = " + ".join(
+        f"{hexval.format(i=i)} * {16 ** (15 - i)}" for i in range(1, 16)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    assemble = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(str_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents), "
+        f"hashed AS (SELECT doc_id, ({th}) AS th FROM "
+        "(SELECT doc_id, md5(tok) AS h FROM toks) t), "
+        f"votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, ({assemble})::BIGINT AS simhash FROM votes"
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 sessionization: Spark session_window over the events table — oracle is
     the classic gaps-and-islands (lag + running sum) formulation.  Semantics pinned
@@ -1022,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hash_functions": q_hash_functions,
             "heartbeat_events": q_heartbeat_events,
             "session_windows": q_session_windows,
+            "simhash_md5": q_simhash_md5,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
@@ -1060,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
             "hash_functions": oracle_hash_functions(),
             "heartbeat_events": oracle_heartbeat_events(),
             "session_windows": oracle_session_windows(),
+            "simhash_md5": oracle_simhash_md5(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),

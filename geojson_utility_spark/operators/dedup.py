@@ -253,28 +253,44 @@ def minhash_near_dups(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, simhash bigint): weighted-bit majority over token xxhash64 features.
+def simhash64(
+    df: DataFrame, text_col: str, id_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, simhash bigint): weighted-bit majority over token hash features.
 
-    Physical shape: explode tokens -> xxhash64 (JVM) -> ONE groupBy(doc_id) carrying 64
-    vectorized sum aggregates (per-bit +1/-1 votes, map-side partial agg) -> sign
+    Physical shape: explode tokens -> token hash (JVM) -> ONE groupBy(doc_id) carrying
+    one sum aggregate per bit (per-bit +1/-1 votes, map-side partial agg) -> sign
     bitmap assembled with bitwise ORs.  Single shuffle on doc_id; no Python anywhere.
+
+    hash_family:
+      'xxhash64' (default, 64 bits) — the production family, fastest JVM hash.
+      'md5'      (60 bits: first 15 hex chars of md5 via conv) — slower but
+        reproducible in ANSI SQL engines; the oracle entry ``simhash_md5`` verifies
+        the ENTIRE vote/assembly pipeline cross-engine with this family.
     """
     exploded = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")), "doc_id").select(
         "doc_id", F.explode(F.split(F.trim(F.regexp_replace(F.lower(F.col("_t")), r"\s+", " ")), " ")).alias("tok")
     )
-    hashed = exploded.withColumn("th", F.xxhash64("tok"))
+    if hash_family == "xxhash64":
+        n_bits = 64
+        th = F.xxhash64("tok")
+    elif hash_family == "md5":
+        n_bits = 60
+        th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    hashed = exploded.withColumn("th", th)
     aggs = [
         F.sum(
             F.when(
                 F.shiftrightunsigned(F.col("th"), bit).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"v{bit}")
-        for bit in range(64)
+        for bit in range(n_bits)
     ]
     votes = hashed.groupBy("doc_id").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for bit in range(64):
+    for bit in range(n_bits):
         bitval = (
             F.lit(-(1 << 63)).cast("long") if bit == 63 else F.lit(1 << bit).cast("long")
         )
@@ -301,6 +317,91 @@ def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
         bounds.append((off, w))
         off += w
     return bounds
+
+
+def hamming_pairs_probed(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int,
+    n_bits: int = 64,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Large-N variant of :func:`hamming_pairs`: WIDE chunks + 1-bit multi-probe.
+
+    The exact-chunk scheme needs n_chunks >= max_distance + 2, so at small
+    max_distance the chunks are ~n_bits/(d+2) wide and buckets hold N/2^width rows —
+    at N=10^6 and d=4 that is ~650 rows/bucket and the self-join materializes ~10^9
+    candidate pairs.  Generalized pigeonhole fixes the selectivity: with ``c`` chunks
+    some chunk carries <= floor(d/c) of the d errors, so probing every 1-bit flip of
+    each chunk guarantees recall for d <= 2c - 1 with chunks TWICE as wide
+    (e.g. d=4: c=3 chunks of ~21 bits -> buckets of N/2^21).  Probe volume is
+    n_chunks x (width+1) keys per row on one side of an equi-join — linear in N,
+    never quadratic.  XOR flips are symmetric, so joining probe(a) x exact(b) with
+    a < b is complete.
+
+    No hot-bucket refinement here: a hot 21-bit bucket means >=cap rows share a
+    21-bit span — with real hash-like inputs that is a data-degeneracy signal;
+    use :func:`hamming_pairs` (exact chunks + chunk-pair hot path) for adversarial
+    corpora at moderate N.
+    """
+    if n_chunks is None:
+        n_chunks = max(2, (max_distance + 2) // 2)
+    if max_distance > 2 * n_chunks - 1:
+        raise ValueError(
+            f"1-bit-probe recall guarantee needs max_distance <= 2*n_chunks - 1 "
+            f"(got n_chunks={n_chunks}, max_distance={max_distance})"
+        )
+    bounds = _chunk_bounds(n_bits, n_chunks)
+    ids = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    exact = ids.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_h"), off).bitwiseAND(
+                        F.lit((1 << w) - 1)
+                    )
+                    for off, w in bounds
+                ]
+            )
+        ).alias("_ci", "_cv"),
+    )
+    # probe side: exact value plus every 1-bit flip of the chunk
+    probes = exact.select(
+        "_id",
+        "_h",
+        "_ci",
+        F.explode(
+            F.array(
+                F.col("_cv"),
+                *[
+                    F.col("_cv").bitwiseXOR(F.lit(1 << j))
+                    for j in range(max(w for _, w in bounds))
+                ],
+            )
+        ).alias("_cv"),
+    )
+    a, b = probes.alias("a"), exact.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._ci") == F.col("b._ci"))
+        & (F.col("a._cv") == F.col("b._cv"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._h").alias("_ha"),
+        F.col("b._h").alias("_hb"),
+    )
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", hamming_expr(F.col("_ha"), F.col("_hb")).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
 
 
 def hamming_pairs(

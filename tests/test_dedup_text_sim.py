@@ -289,3 +289,31 @@ def test_ivf_topk_recall_and_exactness(spark, embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortMergeJoin" not in plan
+
+
+def test_hamming_pairs_probed_matches_exact(spark):
+    """Wide-chunk 1-bit-probe variant == brute force for d <= 2c-1."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    hashes = rng.integers(-(2**63), 2**63, size=150, dtype=np.int64)
+    d = 4
+    m = np.uint64((1 << 2) | (1 << 21) | (1 << 43) | (1 << 63)).astype(np.int64)
+    hashes[1] = hashes[0] ^ m  # planted at exactly d=4, spread across chunks
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "id int, h long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.hamming_pairs_probed(df, "id", "h", max_distance=d, n_chunks=3).collect()
+    }
+    want = {
+        (i, j, bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1"))
+        for i, j in itertools.combinations(range(len(hashes)), 2)
+        if bin((int(hashes[i]) ^ int(hashes[j])) & (2**64 - 1)).count("1") <= d
+    }
+    assert got == want and (0, 1, 4) in got
+    with pytest.raises(ValueError):
+        D.hamming_pairs_probed(df, "id", "h", max_distance=6, n_chunks=3)
