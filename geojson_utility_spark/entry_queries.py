@@ -492,6 +492,145 @@ def oracle_heartbeat_events() -> str:
     )
 
 
+
+
+# locations-shaped rows synthesized from customer keys in pure integer/string
+# arithmetic (exact cross-engine): a mix of valid rows and one negative vector per
+# predicate family (P6 ids incl. the str(NaN)='nan' quirk, P7 gps formats, P9
+# presence, P10 lenient parse, P11 precedence/bounds)
+LOCS_SYNTH = (
+    "SELECT c_custkey AS row_key, "
+    "CASE WHEN c_custkey % 23 = 0 THEN '' "
+    "WHEN c_custkey % 23 = 1 THEN 'bad id!' "
+    "WHEN c_custkey % 23 = 2 THEN NULL "
+    "ELSE concat('seller_', c_custkey) END AS snp_id, "
+    "CASE WHEN c_custkey % 23 = 3 THEN ' ' "
+    "ELSE concat('provider', c_custkey % 9) END AS provider_id, "
+    "concat('L', c_custkey) AS location_id, "
+    "CASE WHEN c_custkey % 29 = 0 THEN lat_str "
+    "WHEN c_custkey % 29 = 1 THEN concat('abc,', lon_str) "
+    "WHEN c_custkey % 29 = 2 THEN concat(lat_int, '.123,', lon_str) "
+    "WHEN c_custkey % 29 = 3 THEN concat('95.12345,', lon_str) "
+    "WHEN c_custkey % 29 = 4 THEN '' "
+    "WHEN c_custkey % 29 = 5 THEN NULL "
+    "WHEN c_custkey % 29 = 6 THEN concat(' ', lat_str, ' , ', lon_str, ' ') "
+    "ELSE concat(lat_str, ',', lon_str) END AS location_gps, "
+    "CASE WHEN c_custkey % 31 = 0 THEN '' "
+    "WHEN c_custkey % 31 = 1 THEN 'abc' "
+    "WHEN c_custkey % 31 = 2 THEN '-5' "
+    "WHEN c_custkey % 31 = 3 THEN '100001' "
+    "WHEN c_custkey % 31 = 4 THEN concat(c_custkey % 5000 + 1, '.5') "
+    "WHEN c_custkey % 31 = 5 THEN NULL "
+    "ELSE concat(c_custkey % 5000 + 1, '') END AS drive_distance, "
+    "CASE WHEN c_custkey % 37 = 0 THEN '' "
+    "WHEN c_custkey % 37 = 1 THEN 'xyz' "
+    "WHEN c_custkey % 37 = 2 THEN '0' "
+    "WHEN c_custkey % 37 = 3 THEN '10001' "
+    "WHEN c_custkey % 37 = 4 THEN NULL "
+    "ELSE concat(c_custkey % 120 + 1, '') END AS drive_time "
+    "FROM (SELECT c_custkey, "
+    "concat((c_custkey * 37) % 170 - 85, '.', "
+    "lpad(concat((c_custkey * 9973) % 100000, ''), 5, '0')) AS lat_str, "
+    "concat((c_custkey * 73) % 340 - 170, '.', "
+    "lpad(concat((c_custkey * 7919) % 100000, ''), 5, '0')) AS lon_str, "
+    "(c_custkey * 37) % 170 - 85 AS lat_int FROM customer) t"
+)
+
+
+def q_validate_locations_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE row-validation pipeline (P6-P11 + error assembly + precedence +
+    exact %.4f rounding) run by the real operator over synthesized locations rows —
+    oracle replicates every predicate in SQL, including the decimal-count string
+    test, the str(NaN)='nan' quirk, concat_ws error joining, truncating int casts,
+    and printf('%.4f') rounding (C semantics on both engines)."""
+    from geojson_utility_spark.operators.validation import validate_locations
+
+    register_views(spark, sf_dir)
+    locs = spark.sql(LOCS_SYNTH)
+    out = validate_locations(locs)
+    return out.select(
+        "row_key", "errors", "catchment_type", "magnitude", "lat", "lon"
+    )
+
+
+def oracle_validate_locations_full() -> str:
+    gps_err = (
+        "location_gps must be a string with two comma-separated floats, "
+        "each with at least 4 decimals, valid range."
+    )
+    id_err = (
+        "CASE WHEN length(s_{c}) = 0 THEN '{c} must be a non-empty string.' "
+        "WHEN length(s_{c}) > 255 THEN '{c} must be at most 255 characters.' "
+        "WHEN NOT regexp_matches(s_{c}, '^[\\w\\.\\-@/]+$') "
+        "THEN '{c} contains invalid characters.' END"
+    )
+    return (
+        f"WITH locs AS ({{locs}}), "
+        "s AS (SELECT row_key, "
+        "trim(coalesce(snp_id, 'nan')) AS s_snp_id, "
+        "trim(coalesce(provider_id, 'nan')) AS s_provider_id, "
+        "trim(coalesce(location_id, 'nan')) AS s_location_id, "
+        "trim(coalesce(location_gps, 'nan')) AS gps, "
+        "drive_distance, drive_time FROM locs), "
+        "parts AS (SELECT *, str_split(gps, ',') AS p, "
+        "trim(p[1]) AS lat_s, "
+        "CASE WHEN len(p) >= 2 THEN trim(p[2]) END AS lon_s, "
+        "try_cast(trim(p[1]) AS DOUBLE) AS lat_d, "
+        "CASE WHEN len(p) >= 2 THEN try_cast(trim(p[2]) AS DOUBLE) END AS lon_d, "
+        "drive_distance IS NOT NULL AND trim(drive_distance) <> '' AS dist_present, "
+        "drive_time IS NOT NULL AND trim(drive_time) <> '' AS time_present, "
+        "try_cast(trim(coalesce(drive_distance, '')) AS DOUBLE) AS dist_num, "
+        "try_cast(trim(coalesce(drive_time, '')) AS DOUBLE) AS time_num "
+        "FROM s), "
+        "flags AS (SELECT *, "
+        "(len(p) = 2 AND lat_d IS NOT NULL AND lon_d IS NOT NULL "
+        "AND NOT isnan(lat_d) AND NOT isnan(lon_d) "
+        "AND strpos(lat_s, '.') > 0 "
+        "AND length(regexp_extract(lat_s, '[^.]*$')) >= 4 "
+        "AND lon_s IS NOT NULL AND strpos(lon_s, '.') > 0 "
+        "AND length(regexp_extract(lon_s, '[^.]*$')) >= 4 "
+        "AND lat_d BETWEEN -90 AND 90 AND lon_d BETWEEN -180 AND 180) AS gps_ok, "
+        "(dist_present AND dist_num IS NOT NULL AND NOT isnan(dist_num)) AS dist_parsed, "
+        "(time_present AND time_num IS NOT NULL AND NOT isnan(time_num)) AS time_parsed "
+        "FROM parts), "
+        "prec AS (SELECT *, "
+        "(dist_parsed AND dist_num > 0 AND dist_num <= 100000) AS use_dist, "
+        "(NOT (dist_parsed AND dist_num > 0 AND dist_num <= 100000) "
+        "AND time_parsed AND time_num > 0 AND time_num <= 10000) AS use_time, "
+        "CASE WHEN gps_ok THEN printf('%.4f', lat_d)::DOUBLE END AS lat, "
+        "CASE WHEN gps_ok THEN printf('%.4f', lon_d)::DOUBLE END AS lon "
+        "FROM flags) "
+        "SELECT row_key, concat_ws('; ', "
+        + id_err.format(c="snp_id") + ", "
+        + id_err.format(c="provider_id") + ", "
+        + id_err.format(c="location_id") + ", "
+        f"CASE WHEN NOT gps_ok THEN '{gps_err}' END, "
+        "CASE WHEN gps_ok AND NOT (lat BETWEEN -90 AND 90) "
+        "THEN 'latitude in location_gps must be between -90 and 90.' END, "
+        "CASE WHEN gps_ok AND NOT (lon BETWEEN -180 AND 180) "
+        "THEN 'longitude in location_gps must be between -180 and 180.' END, "
+        "CASE WHEN NOT dist_present AND NOT time_present "
+        "THEN 'Either drive_distance or drive_time must be provided and non-empty.' END, "
+        "CASE WHEN dist_present AND NOT dist_parsed "
+        "THEN 'drive_distance must be a valid number if present.' END, "
+        "CASE WHEN dist_parsed AND dist_num <= 0 "
+        "THEN 'drive_distance must be a positive number.' END, "
+        "CASE WHEN dist_parsed AND dist_num > 100000 "
+        "THEN 'drive_distance is unreasonably large.' END, "
+        "CASE WHEN NOT use_dist AND time_present AND NOT time_parsed "
+        "THEN 'drive_time must be a valid number if present.' END, "
+        "CASE WHEN NOT use_dist AND time_parsed AND time_num <= 0 "
+        "THEN 'drive_time must be a positive number.' END, "
+        "CASE WHEN NOT use_dist AND time_parsed AND time_num > 10000 "
+        "THEN 'drive_time is unreasonably large.' END) AS errors, "
+        "CASE WHEN use_dist THEN 'drive_distance' "
+        "WHEN use_time THEN 'drive_time' END AS catchment_type, "
+        "CASE WHEN use_dist THEN trunc(dist_num)::INT "
+        "WHEN use_time THEN trunc(time_num)::INT END AS magnitude, "
+        "lat, lon FROM prec"
+    ).format(locs=LOCS_SYNTH)
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1058,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "heartbeat_events": q_heartbeat_events,
             "session_windows": q_session_windows,
             "simhash_md5": q_simhash_md5,
+            "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
             "flagship_image_join": q_flagship_image_join,
@@ -1097,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
             "heartbeat_events": oracle_heartbeat_events(),
             "session_windows": oracle_session_windows(),
             "simhash_md5": oracle_simhash_md5(),
+            "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),
