@@ -1144,6 +1144,29 @@ def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_verify(images)
 
 
+def q_audio_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: REAL RIFF/WAVE PCM16 codec in mapInPandas batches;
+    per-row invariants = metadata agreement + caption + exact (lossless) round trip.
+    Rows-only: the WAV byte stream is not SQL-decodable; invariants pinned by
+    tests/test_media_ops.py."""
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.media import AUDIO_SCHEMA, decode_and_verify_audio
+
+    audio = spark.createDataFrame(FX.make_audio(120), schema=AUDIO_SCHEMA)
+    return decode_and_verify_audio(audio)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: frame sampling as a row-expanding mapInPandas
+    (one row per sampled frame with timestamp/phash/PNG re-encode) — the training-
+    data frame-extraction shape.  Rows-only; counts/content pinned by pytest."""
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.media import VIDEO_SCHEMA, frame_sample
+
+    videos = spark.createDataFrame(FX.make_videos(40), schema=VIDEO_SCHEMA)
+    return frame_sample(videos, every_n=5).drop("frame_png")
+
+
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.dedup import phash_near_dups
@@ -1206,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lsh_ann_topk": q_lsh_ann_topk,
             "ivf_ann_topk": q_ivf_ann_topk,
             "image_decode_verify": q_image_decode_verify,
+            "audio_decode_verify": q_audio_decode_verify,
+            "video_frame_sample": q_video_frame_sample,
             "phash_near_dups": q_phash_near_dups,
             "rasterize_masks": q_rasterize_masks,
             "enrich_locations": q_enrich_locations,

@@ -185,6 +185,79 @@ def make_polygons(n: int = 40, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_audio(n: int = 100, seed: int = SEED) -> pd.DataFrame:
+    """Audio fixture: deterministic PCM16 clips (mixed mono/stereo, varied rates)
+    encoded with the real WAV codec (functions/media.py)."""
+    from geojson_utility_spark.functions import media as M
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    rates = [8000, 16000, 44100]
+    for i in range(n):
+        audio_id = f"aud_{i:012d}"
+        sr = rates[i % len(rates)]
+        ch = 1 if i % 3 else 2
+        n_samples = int(rng.integers(sr // 100, sr // 4))
+        t = np.arange(n_samples, dtype=np.float64)
+        freq = 100.0 + (i * 37) % 4000
+        wave = np.sin(2 * np.pi * freq * t / sr) * (3000 + (i * 97) % 20000)
+        samples = np.stack([wave] * ch, axis=1).astype(np.int16)
+        rows.append(
+            {
+                "audio_id": audio_id,
+                "bytes": M.encode_wav(samples, sr),
+                "sample_rate": sr,
+                "n_channels": ch,
+                "n_samples": n_samples,
+                "fmt": "wav",
+                "caption": f"caption of {audio_id}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_videos(n: int = 30, seed: int = SEED) -> pd.DataFrame:
+    """Video fixture: deterministic moving-gradient frames in the clearly-labeled
+    fvid stand-in container (real demuxers need codec libs absent here)."""
+    from geojson_utility_spark.functions import media as M
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        video_id = f"vid_{i:012d}"
+        w = int(rng.integers(16, 49))
+        h = int(rng.integers(16, 49))
+        n_frames = int(rng.integers(5, 40))
+        fps = float(rng.choice([10.0, 24.0, 30.0]))
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = np.stack(
+            [
+                np.stack(
+                    [
+                        (xx * 4 + f * 3 + i) % 256,
+                        (yy * 4 + f * 5) % 256,
+                        (xx + yy + f * 7) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                for f in range(n_frames)
+            ]
+        )
+        rows.append(
+            {
+                "video_id": video_id,
+                "bytes": M.encode_fvid(frames, fps),
+                "w": w,
+                "h": h,
+                "fps": fps,
+                "n_frames": n_frames,
+                "fmt": "fvid",
+                "caption": f"caption of {video_id}",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 GOLDEN_LOCATION_ROWS = [
     # verbatim backend/sample.csv rows 1-2
     ("sample_seller", "sample_provider", "L1", "28.5065162,77.073938", "500.5", ""),
