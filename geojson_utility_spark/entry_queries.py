@@ -631,6 +631,51 @@ def oracle_validate_locations_full() -> str:
     ).format(locs=LOCS_SYNTH)
 
 
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite pretraining quality score + every component ratio — pure
+    rational arithmetic on regex counts, so the full formula hash-matches
+    cross-engine (left-associative grouping mirrored exactly in the SQL)."""
+    from geojson_utility_spark.operators.textops import quality_features
+
+    register_views(spark, sf_dir)
+    return quality_features(spark.table("documents"), "text").select(
+        "doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
+        "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def oracle_quality_scores() -> str:
+    from geojson_utility_spark.operators.textops import LANG_PROFILES
+
+    in_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    toks = "str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "length(text) AS n_chars, "
+        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        "len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens, "
+        "len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct, "
+        "len(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+        f"len(list_filter({toks}, x -> x IN ({in_list}))) AS n_stop "
+        "FROM documents), "
+        "r AS (SELECT doc_id, n_chars, n_tokens, "
+        "greatest(n_chars, 1)::DOUBLE AS sc, greatest(n_tokens, 1)::DOUBLE AS st, "
+        "n_punct, n_digit, n_stop FROM base), "
+        "f AS (SELECT doc_id, n_chars AS n_chars_calc, n_tokens, "
+        "sc / st AS mean_token_len, "
+        "n_punct / sc AS punct_ratio, n_digit / sc AS digit_ratio, "
+        "n_stop / st AS stopword_ratio FROM r) "
+        "SELECT doc_id, n_chars_calc, n_tokens, mean_token_len, punct_ratio, "
+        "digit_ratio, stopword_ratio, "
+        "greatest(0.0, ((1.0 - least(1.0, punct_ratio * 4) "
+        "- least(1.0, digit_ratio * 2)) * least(1.0, stopword_ratio * 5)) "
+        "* (CASE WHEN mean_token_len >= 3 AND mean_token_len <= 12 "
+        "THEN 1.0 ELSE 0.5 END)) AS quality_score FROM f"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1220,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "heartbeat_events": q_heartbeat_events,
             "session_windows": q_session_windows,
             "simhash_md5": q_simhash_md5,
+            "quality_scores": q_quality_scores,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
@@ -1262,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
             "heartbeat_events": oracle_heartbeat_events(),
             "session_windows": oracle_session_windows(),
             "simhash_md5": oracle_simhash_md5(),
+            "quality_scores": oracle_quality_scores(),
             "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),

@@ -2,13 +2,17 @@
 
 All set-oriented, shuffle-minimal designs:
 - exact:      hash-groupBy on content (map-side partial agg; one shuffle on the hash)
-- minhash+LSH: shingles -> minhash signature -> banded bucket join (near-dup pairs
-               found with an equi-join on (band, bucket-hash) — no O(N^2) compare)
-- simhash:    64-bit weighted-feature hash; near-dups = small hamming distance within
-              LSH buckets on bit-chunks
-- ngram-jaccard: exact Jaccard on character n-gram sets for candidate pairs
-- phash near-dup: hamming distance on the images table's perceptual hash, bucketed by
-              16-bit chunks (any pair within distance d shares a chunk when d < chunks)
+- minhash+LSH: shingles -> minhash signature -> banded bucket join -> exact-Jaccard
+               verify restricted to candidates (never an O(N^2) compare)
+- ngram-jaccard: EXACT all-pairs Jaccard via the shingle inverted-index join
+               (complete for any threshold > 0)
+- simhash:    weighted-feature bit-majority hash (xxhash64 production family, or the
+              SQL-reproducible md5 family for cross-engine oracles)
+- hamming_pairs: GUARANTEED-recall near-dup pairs by hamming distance — pigeonhole
+              chunks (n_chunks = d + 2) with a chunk-PAIR path for hot buckets;
+              simhash/phash near-dups ride it
+- hamming_pairs_probed: the large-N variant — wide chunks + 1-bit multi-probe
+              (d <= 2c - 1), candidate volume linear in N
 
 Every operator keeps the big table distributed; only per-row feature computation runs
 in (vectorized) expressions or Arrow batches.
