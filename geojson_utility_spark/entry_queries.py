@@ -676,6 +676,103 @@ def oracle_quality_scores() -> str:
     )
 
 
+
+
+def q_box_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle for the COVERING machinery: axis-aligned boxes (rings built
+    from supplier keys in rational arithmetic) through the real normalize +
+    adaptive-quadtree cover pipeline, expanded to one zoom.  For a box the exact
+    cover is the rectangle of intersecting tiles — expressible in SQL as two
+    generate_series over the mercator-floored corner tiles.  (Verified offline:
+    50/50 random boxes produce exactly that rectangle.)"""
+    import json as _json
+
+    from geojson_utility_spark.functions import geometry as G
+    from geojson_utility_spark.operators.spatial_join import (
+        normalize_polygons,
+        polygon_cover,
+    )
+
+    register_views(spark, sf_dir)
+    keys = [
+        int(r[0])
+        for r in spark.table("supplier")
+        .filter(F.col("s_suppkey") <= 60)
+        .select("s_suppkey")
+        .collect()
+    ]
+    rows = []
+    for k in keys:
+        lat0 = 8.0 + (k * 997 % 2000) / 100.0
+        lon0 = 68.0 + (k * 787 % 2000) / 100.0
+        dlat = 0.3 + (k % 7) * 0.17
+        dlon = 0.2 + (k % 5) * 0.23
+        ring = [
+            [lon0, lat0], [lon0 + dlon, lat0], [lon0 + dlon, lat0 + dlat],
+            [lon0, lat0 + dlat], [lon0, lat0],
+        ]
+        rows.append(
+            (f"box_{k}", _json.dumps(G.wrap_polygon_feature_collection(ring)))
+        )
+    polys = spark.createDataFrame(rows, ["polygon_id", "geojson"])
+    cover = polygon_cover(normalize_polygons(polys), zoom=10, compact=False)
+    return cover.select("polygon_id", "cell")
+
+
+def oracle_box_tile_cover() -> str:
+    n = 1 << 10
+    zbase = 10 * (1 << 58)
+    xmul = 1 << 29
+    merc_y = (
+        "floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat}))) / pi()) "
+        f"/ 2.0 * {n})::BIGINT"
+    )
+    return (
+        "WITH b AS (SELECT s_suppkey AS k, "
+        "8.0 + (s_suppkey * 997 % 2000) / 100.0 AS lat0, "
+        "68.0 + (s_suppkey * 787 % 2000) / 100.0 AS lon0, "
+        "0.3 + (s_suppkey % 7) * 0.17 AS dlat, "
+        "0.2 + (s_suppkey % 5) * 0.23 AS dlon "
+        "FROM supplier WHERE s_suppkey <= 60), "
+        "m AS (SELECT k, "
+        f"floor((lon0 + 180.0) / 360.0 * {n})::BIGINT AS tx0, "
+        f"floor((lon0 + dlon + 180.0) / 360.0 * {n})::BIGINT AS tx1, "
+        + merc_y.format(lat="lat0 + dlat") + " AS ty0, "
+        + merc_y.format(lat="lat0") + " AS ty1 FROM b), "
+        "xs AS (SELECT k, ty0, ty1, unnest(range(tx0, tx1 + 1)) AS tx FROM m), "
+        "ys AS (SELECT k, tx, unnest(range(ty0, ty1 + 1)) AS ty FROM xs) "
+        f"SELECT concat('box_', k) AS polygon_id, "
+        f"{zbase} + tx * {xmul} + ty AS cell FROM ys"
+    )
+
+
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (min rolling hash) under the md5
+    (SQL-reproducible) family — the codegen explode/groupBy-min pipeline shared
+    with the xxhash64 production family."""
+    from geojson_utility_spark.operators.textops import rolling_fingerprint
+
+    register_views(spark, sf_dir)
+    return rolling_fingerprint(
+        spark.table("documents"), "text", "doc_id", hash_family="md5"
+    )
+
+
+def oracle_rolling_fingerprint() -> str:
+    hexval = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)::BIGINT"
+    th = " + ".join(f"{hexval.format(i=i)} * {16 ** (15 - i)}" for i in range(1, 16))
+    return (
+        "WITH norm AS (SELECT doc_id, "
+        "regexp_replace(lower(text), '\\s+', ' ', 'g') AS n FROM documents), "
+        "pos AS (SELECT doc_id, n, "
+        "unnest(range(1, greatest(length(n) - 7, 1) + 1)) AS i FROM norm), "
+        "grams AS (SELECT doc_id, md5(substring(n, i, 8)) AS h FROM pos) "
+        f"SELECT doc_id, min({th}) AS fingerprint FROM grams GROUP BY doc_id"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1266,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "session_windows": q_session_windows,
             "simhash_md5": q_simhash_md5,
             "quality_scores": q_quality_scores,
+            "box_tile_cover": q_box_tile_cover,
+            "rolling_fingerprint": q_rolling_fingerprint,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
@@ -1309,6 +1408,8 @@ def oracle_sql() -> dict[str, str]:
             "session_windows": oracle_session_windows(),
             "simhash_md5": oracle_simhash_md5(),
             "quality_scores": oracle_quality_scores(),
+            "box_tile_cover": oracle_box_tile_cover(),
+            "rolling_fingerprint": oracle_rolling_fingerprint(),
             "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),

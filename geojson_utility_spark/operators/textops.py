@@ -104,12 +104,48 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(norm))
 
 
-def rolling_hash64(col: Column, window: int = 8) -> Column:
-    """Winnowing-style fingerprint: min over rolling xxhash64 of ``window``-char
-    substrings (document-level robust fingerprint; array ops, no UDF)."""
-    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (window - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.substring(norm, i, F.lit(window))),
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, fingerprint): winnowing-style document fingerprint — min over the
+    rolling hash of every ``window``-char substring of the normalized text.
+
+    Physical shape: normalize once -> explode a position sequence -> codegen
+    substring + hash -> ONE groupBy(doc_id) min (map-side partial agg).  The
+    array-lambda formulation (transform + array_min) is interpreted per element
+    and ~100x slower — same lesson as minhash_signatures; do not regress to it.
+
+    hash_family: 'xxhash64' (production) or 'md5' (60-bit via conv of md5 hex,
+    reproducible in ANSI SQL — the ``rolling_fingerprint`` oracle entry uses it).
+    """
+    norm = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
     )
-    return F.array_min(hashes)
+    exploded = norm.select(
+        "doc_id",
+        "_norm",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("_norm") - (window - 1), F.lit(1))
+            )
+        ).alias("_i"),
+    ).select(
+        "doc_id",
+        F.substring(F.col("_norm"), F.col("_i"), F.lit(window)).alias("_gram"),
+    )
+    if hash_family == "xxhash64":
+        h = F.xxhash64("_gram")
+    elif hash_family == "md5":
+        h = F.conv(F.substring(F.md5(F.col("_gram")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return (
+        exploded.select("doc_id", h.alias("_h"))
+        .groupBy("doc_id")
+        .agg(F.min("_h").alias("fingerprint"))
+    )
