@@ -1157,10 +1157,6 @@ def oracle_ngram_jaccard_pairs() -> str:
     return _jaccard_oracle_sql(0.8)
 
 
-def _embedding_sign_sig_bits(n_bits: int = 32) -> int:
-    return n_bits
-
-
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
     column — exercises the guaranteed-recall hamming_pairs machinery (the shared

@@ -63,28 +63,6 @@ def exact_dup_groups(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
-def _shingles(col, n: int = 8):
-    """Character n-gram array of the normalized text (lowercased, squeezed spaces).
-
-    Default n=8: long enough that unrelated documents over a shared vocabulary do not
-    collide (char-3-grams of same-domain text have ~0.5 Jaccard between RANDOM pairs,
-    flooding LSH with all-pairs candidates; 8-grams drop that to ~0.04)."""
-    norm = F.regexp_replace(F.lower(col), r"\s+", " ")
-    # NOTE: no array_distinct — it is O(len^2) per row on string arrays and
-    # unnecessary: min() is duplicate-insensitive and array_intersect/array_union
-    # already use set semantics, so every consumer sees set behavior anyway.
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-        lambda i: F.substring(norm, i, F.lit(n)),
-    )
-
-
-def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 8) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("shingles")
-    )
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 32, shingle_n: int = 8
 ) -> DataFrame:
