@@ -773,6 +773,32 @@ def oracle_rolling_fingerprint() -> str:
     )
 
 
+
+
+def q_range_join_within_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance range join (points within 150 km of any target) via the grid-
+    replication operator — oracle is the brute-force haversine filter.  Rank-free
+    comparison: only the pair set and distances are compared, and a cross-engine
+    disagreement would need a pair within float noise of exactly 150 km."""
+    from geojson_utility_spark.operators.knn import within_distance_join
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    tgt = spark.sql(TGT_SUPPLIER)
+    return within_distance_join(pts, tgt, radius_km=150.0).select(
+        "point_id", "target_id"
+    )
+
+
+def oracle_range_join_within_km() -> str:
+    return (
+        "SELECT point_id, target_id FROM "
+        f"({PTS_CUSTOMER}) p(point_id, p_lat, p_lon) "
+        f"CROSS JOIN ({TGT_SUPPLIER}) s(target_id, t_lat, t_lon) "
+        f"WHERE {HAVERSINE} <= 150.0"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality_scores": q_quality_scores,
             "box_tile_cover": q_box_tile_cover,
             "rolling_fingerprint": q_rolling_fingerprint,
+            "range_join_within_km": q_range_join_within_km,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
@@ -1406,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
             "quality_scores": oracle_quality_scores(),
             "box_tile_cover": oracle_box_tile_cover(),
             "rolling_fingerprint": oracle_rolling_fingerprint(),
+            "range_join_within_km": oracle_range_join_within_km(),
             "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),

@@ -192,6 +192,104 @@ def knn_join(
     return out
 
 
+def within_distance_join(
+    points: DataFrame,
+    targets: DataFrame,
+    radius_km: float,
+    zoom: int | None = None,
+    point_id: str = "point_id",
+    target_id: str = "target_id",
+) -> DataFrame:
+    """Distance range join: every (point, target) pair with haversine <= radius_km.
+
+    The grid-replication shape of :func:`knn_join`, without escalation: each target
+    is replicated to every cell within a Chebyshev radius sized so NO qualifying
+    pair can be missed, the huge point side joins once on its own cell (broadcast
+    equi-join, zero shuffle of the point table), and the exact haversine filter
+    prunes the candidates.
+
+    Completeness bound (Mercator is conformal, so the local km-per-tile scale is
+    ``EARTH_CIRC * cos(lat) / 2^z`` in BOTH axes): a target not replicated to a
+    point's cell lies > (R-1) tile units away in projected space, hence
+    > (R-1) * km_min great-circle km, where km_min uses the highest latitude the
+    pair's region can touch (|t_lat| + radius as degrees + one tile) and the same
+    SAFETY factor as knn_join for second-order projection effects.  Choosing
+    R = ceil(radius / (SAFETY * km_min)) + 1 per target therefore guarantees every
+    pair within radius_km is a candidate; exactness is pinned against the
+    brute-force oracle in tests and the driver contract.
+
+    zoom=None picks the zoom where an equator tile ~ radius (R stays ~2-4).
+    """
+    import math
+
+    if zoom is None:
+        zoom = max(1, min(18, int(math.floor(math.log2(EARTH_CIRC_KM / radius_km)))))
+    tile_deg = 360.0 / (1 << zoom)
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").cast("double").alias("p_lat"),
+        F.col("lon").cast("double").alias("p_lon"),
+    ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), zoom))
+    tgt = targets.select(
+        F.col(target_id).alias("target_id"),
+        F.col("lat").cast("double").alias("t_lat"),
+        F.col("lon").cast("double").alias("t_lon"),
+    )
+    # per-target replication radius from the region's worst-case latitude
+    lat_reach = F.least(
+        F.lit(85.0),
+        F.abs(F.col("t_lat")) + F.lit(radius_km / 111.0 + tile_deg),
+    )
+    km_min = F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
+    r_t = F.ceil(F.lit(radius_km) / (F.lit(SAFETY) * km_min)) + F.lit(1)
+    # driver-side R_max bounds the offsets table (targets are the small side)
+    tgt_r = tgt.withColumn("_r", r_t.cast("int"))
+    r_max = tgt_r.agg(F.max("_r")).first()[0]
+    if r_max is None:
+        return pts.limit(0).select(
+            "point_id",
+            F.lit(None).cast("string").alias("target_id"),
+            F.lit(None).cast("double").alias("dist_km"),
+        )
+    spark = points.sparkSession
+    offs = [
+        (dx, dy)
+        for dx in range(-r_max, r_max + 1)
+        for dy in range(-r_max, r_max + 1)
+    ]
+    offsets = F.broadcast(
+        spark.createDataFrame(pd.DataFrame(offs, columns=["dx", "dy"]))
+    )
+    n = F.lit(1 << zoom).cast("long")
+    tx, ty = tile_xy_expr(F.col("t_lat"), F.col("t_lon"), zoom)
+    index = (
+        tgt_r.withColumn("_tx", tx)
+        .withColumn("_ty", ty)
+        .crossJoin(offsets)
+        .filter(
+            (F.abs(F.col("dx")) <= F.col("_r")) & (F.abs(F.col("dy")) <= F.col("_r"))
+        )
+        .withColumn("_ry", F.col("_ty") + F.col("dy"))
+        .filter((F.col("_ry") >= 0) & (F.col("_ry") < n))
+        .withColumn(
+            "cell",
+            F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
+            + F.pmod(F.col("_tx") + F.col("dx"), n) * F.lit(1 << 29).cast("long")
+            + F.col("_ry"),
+        )
+        .select("cell", "target_id", "t_lat", "t_lon")
+    )
+    dist = haversine_expr(
+        F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon")
+    )
+    return (
+        pts.join(F.broadcast(index), "cell", "inner")
+        .withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= radius_km)
+        .select("point_id", "target_id", "dist_km")
+    )
+
+
 def _tile_frac_exprs(lat_col: str, lon_col: str, zoom: int):
     """Fractional (unfloored) tile coordinates — projected position in tile units."""
     import math

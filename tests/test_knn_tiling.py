@@ -129,3 +129,43 @@ def test_knn_arrow_k_exceeds_targets(spark, knn_data):
     n_tgt = tgt_df.count()
     got = K.knn_brute_force_arrow(pts_df.limit(5), tgt_df, k=n_tgt + 10).toPandas()
     assert set(got["knn_rank"].unique()) == set(range(1, n_tgt + 1))
+
+
+def test_within_distance_join_matches_brute_force(spark, knn_data):
+    """Range join == brute-force haversine filter, at several radii (incl. one
+    large enough to force multi-ring replication)."""
+    import numpy as np
+
+    from geojson_utility_spark.operators.knn import (
+        haversine_expr,
+        within_distance_join,
+    )
+    from pyspark.sql import functions as F
+
+    pts_df, tgt_df = knn_data
+    pts = pts_df.select("point_id", F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon"))
+    tgt = tgt_df.select("target_id", F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon"))
+    dist = haversine_expr(F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon"))
+    for radius in (25.0, 150.0, 700.0):
+        got = within_distance_join(pts_df, tgt_df, radius_km=radius).toPandas()
+        want = (
+            pts.crossJoin(tgt)
+            .withColumn("d", dist)
+            .filter(F.col("d") <= radius)
+            .toPandas()
+        )
+        g = set(map(tuple, got[["point_id", "target_id"]].values))
+        w = set(map(tuple, want[["point_id", "target_id"]].values))
+        assert g == w, f"radius {radius}: {len(g)} vs {len(w)}"
+        gd = got.sort_values(["point_id", "target_id"])["dist_km"].to_numpy()
+        wd = want.sort_values(["point_id", "target_id"])["d"].to_numpy()
+        assert np.allclose(gd, wd, rtol=1e-12)
+
+
+def test_within_distance_join_empty_targets(spark, knn_data):
+    from geojson_utility_spark.operators.knn import within_distance_join
+    from pyspark.sql import functions as F
+
+    pts_df, tgt_df = knn_data
+    out = within_distance_join(pts_df, tgt_df.filter(F.lit(False)), radius_km=50.0)
+    assert out.count() == 0
