@@ -799,6 +799,45 @@ def oracle_range_join_within_km() -> str:
     )
 
 
+
+
+# as-of right side: orders re-timestamped into the events month (integer-derived
+# seconds offsets — identical arithmetic both engines)
+ASOF_RIGHT_SQL = (
+    "SELECT o_orderkey % 150 AS user_id, "
+    "TIMESTAMP '2024-01-01 00:00:00' + (o_orderkey % 2592000) * INTERVAL 1 SECOND "
+    "AS rts, o_orderkey FROM orders"
+)
+
+
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each event picks up the latest order row whose
+    timestamp precedes it — the temporal-enrichment operator Spark SQL lacks,
+    implemented as one keyed window over a tagged union (operators/temporal.py).
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identical derived tables."""
+    from geojson_utility_spark.operators.temporal import as_of_join
+
+    register_views(spark, sf_dir)
+    left = spark.table("events").select("event_id", "user_id", "ts")
+    right = spark.sql(ASOF_RIGHT_SQL)
+    out = as_of_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        right_cols=["o_orderkey"], tiebreaker="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey")
+
+
+def oracle_as_of_join() -> str:
+    return (
+        f"WITH r AS ({ASOF_RIGHT_SQL}), "
+        "rd AS (SELECT user_id, rts, max(o_orderkey) AS o_orderkey "
+        "FROM r GROUP BY user_id, rts) "
+        "SELECT e.event_id, e.user_id, rd.o_orderkey "
+        "FROM events e ASOF LEFT JOIN rd "
+        "ON e.user_id = rd.user_id AND e.ts >= rd.rts"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1388,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "box_tile_cover": q_box_tile_cover,
             "rolling_fingerprint": q_rolling_fingerprint,
             "range_join_within_km": q_range_join_within_km,
+            "as_of_join": q_as_of_join,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
@@ -1434,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
             "box_tile_cover": oracle_box_tile_cover(),
             "rolling_fingerprint": oracle_rolling_fingerprint(),
             "range_join_within_km": oracle_range_join_within_km(),
+            "as_of_join": oracle_as_of_join(),
             "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),

@@ -1,0 +1,89 @@
+"""Temporal joins — the as-of join (point-in-time lookup) Spark SQL lacks natively.
+
+``as_of_join(left, right, ...)``: for every left row, attach the single right row
+with the greatest right timestamp <= the left timestamp within the same key —
+the standard point-in-time enrichment (latest price before a trade, latest order
+before an event).  Semantics match DuckDB's ``ASOF LEFT JOIN`` (the oracle).
+
+Physical shape (scale-first): NO range join, NO per-key collect.  Both sides are
+UNIONED with a side tag and processed by ONE window partitioned by key and ordered
+by (ts, side): ``last(right_cols, ignorenulls=True)`` carries the most recent right
+row forward onto each left row.  Cost = one shuffle on the key (keyed window, never
+a global sort); right rows add O(|right|) rows to the shuffle, not a join blowup.
+Right-side timestamp ties are resolved BEFORE the union by keeping the row with the
+greatest tiebreaker per (key, ts) — making the result deterministic (DuckDB ASOF
+requires the same uniqueness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Left as-of join: left rows + the latest right row with right_ts <= left_ts.
+
+    right_cols: the right-side payload columns to attach (null when no right row
+    precedes the left row — LEFT-join semantics).
+    tiebreaker: right column deciding among equal right_ts per key (greatest wins);
+    required if (key, right_ts) is not unique.
+    """
+    if tiebreaker:
+        w_dedup = Window.partitionBy(key, right_ts).orderBy(F.col(tiebreaker).desc())
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    r = right.select(
+        F.col(key).alias(key),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),  # right rows sort BEFORE left rows at equal ts
+        *payload,
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(r.dtypes)[f"_r_{c}"]).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l.select(
+        key, "_ts", "_side", *[f"_r_{c}" for c in right_cols],
+        *[c for c in left_cols if c != key],
+    ).unionByName(
+        r.select(
+            key, "_ts", "_side", *[f"_r_{c}" for c in right_cols],
+            *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in left_cols if c != key],
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        key,
+        "_ts",
+        "_side",
+        *[c for c in left_cols if c != key],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+    )
+    return out
