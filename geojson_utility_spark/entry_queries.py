@@ -838,6 +838,66 @@ def oracle_as_of_join() -> str:
     )
 
 
+
+
+def q_polygon_intersect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon intersection join over two box families (rational-arithmetic
+    corners from supplier keys) through the REAL cover-candidate + exact-kernel
+    pipeline — for axis-aligned boxes the truth is interval overlap, trivially
+    expressible in SQL (boundary-inclusive on both sides)."""
+    import json as _json
+
+    from geojson_utility_spark.functions import geometry as G
+    from geojson_utility_spark.operators.spatial_join import polygon_intersect_join
+
+    register_views(spark, sf_dir)
+    keys = [
+        int(r[0])
+        for r in spark.table("supplier")
+        .filter(F.col("s_suppkey") <= 40)
+        .select("s_suppkey")
+        .collect()
+    ]
+
+    def boxes(prefix, latm, lonm, dm):
+        rows = []
+        for k in keys:
+            lat0 = 8.0 + (k * latm % 2000) / 100.0
+            lon0 = 68.0 + (k * lonm % 2000) / 100.0
+            d = 0.5 + (k % dm) * 0.3
+            ring = [
+                [lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d],
+                [lon0, lat0 + d], [lon0, lat0],
+            ]
+            rows.append(
+                (f"{prefix}_{k}", _json.dumps(G.wrap_polygon_feature_collection(ring)))
+            )
+        return spark.createDataFrame(rows, ["polygon_id", "geojson"])
+
+    a = boxes("a", 997, 787, 7)
+    b = boxes("b", 641, 907, 5)
+    return polygon_intersect_join(a, b, zoom=11)
+
+
+def oracle_polygon_intersect_join() -> str:
+    def box(latm, lonm, dm):
+        return (
+            f"SELECT s_suppkey AS k, "
+            f"8.0 + (s_suppkey * {latm} % 2000) / 100.0 AS y0, "
+            f"68.0 + (s_suppkey * {lonm} % 2000) / 100.0 AS x0, "
+            f"0.5 + (s_suppkey % {dm}) * 0.3 AS d "
+            "FROM supplier WHERE s_suppkey <= 40"
+        )
+
+    return (
+        f"WITH a AS ({box(997, 787, 7)}), b AS ({box(641, 907, 5)}) "
+        "SELECT concat('a_', a.k) AS a_id, concat('b_', b.k) AS b_id "
+        "FROM a CROSS JOIN b "
+        "WHERE a.x0 <= b.x0 + b.d AND b.x0 <= a.x0 + a.d "
+        "AND a.y0 <= b.y0 + b.d AND b.y0 <= a.y0 + a.d"
+    )
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash vote/assembly pipeline under the md5 (SQL-reproducible) token
     hash — a hard oracle for the aggregation machinery the production xxhash64
@@ -1428,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rolling_fingerprint": q_rolling_fingerprint,
             "range_join_within_km": q_range_join_within_km,
             "as_of_join": q_as_of_join,
+            "polygon_intersect_join": q_polygon_intersect_join,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
@@ -1475,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
             "rolling_fingerprint": oracle_rolling_fingerprint(),
             "range_join_within_km": oracle_range_join_within_km(),
             "as_of_join": oracle_as_of_join(),
+            "polygon_intersect_join": oracle_polygon_intersect_join(),
             "validate_locations_full": oracle_validate_locations_full(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),

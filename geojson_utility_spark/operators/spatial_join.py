@@ -547,6 +547,64 @@ def spatial_join(
     raise ValueError(f"unsupported how={how!r}")
 
 
+def polygon_intersect_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    zoom: int = 12,
+) -> DataFrame:
+    """Polygon x polygon intersection join: (a_id, b_id) for every pair of valid
+    polygons that share any point (boundary-inclusive).
+
+    Physical plan (both sides potentially large — neither is broadcast wholesale):
+    1. normalize + cover BOTH sides at one zoom (the usual adaptive descent,
+       expanded) — cover rows are (id, cell);
+    2. candidates = cover_a equi-join cover_b on cell, deduped — polygons can only
+       intersect if their covers share a cell (covers are conservative supersets),
+       so the candidate set is complete and the only shuffle is on the cell key;
+    3. exact refine per candidate pair with the vertex-containment + segment-
+       intersection kernel (functions/polyops.py) inside mapInPandas, rings
+       delivered via a join on the normalized tables (ring pairs are tiny —
+       tens of vertices each).
+
+    zoom trades candidate precision against cover size exactly like the point
+    join; intersection semantics match the box-overlap oracle (entry
+    ``polygon_intersect_join``) and the brute-force kernel pytest.
+    """
+    import json as _json
+
+    na = normalize_polygons(polys_a).filter(F.col("poly_errors") == "")
+    nb = normalize_polygons(polys_b).filter(F.col("poly_errors") == "")
+    ca = polygon_cover(na.select("polygon_id", "ring_json", "poly_errors"),
+                       zoom=zoom, compact=False).select(
+        F.col("polygon_id").alias("a_id"), "cell"
+    )
+    cb = polygon_cover(nb.select("polygon_id", "ring_json", "poly_errors"),
+                       zoom=zoom, compact=False).select(
+        F.col("polygon_id").alias("b_id"), "cell"
+    )
+    cand = ca.join(cb, "cell").select("a_id", "b_id").dropDuplicates(["a_id", "b_id"])
+    pairs = (
+        cand.join(na.select(F.col("polygon_id").alias("a_id"),
+                            F.col("ring_json").alias("_ra")), "a_id")
+        .join(nb.select(F.col("polygon_id").alias("b_id"),
+                        F.col("ring_json").alias("_rb")), "b_id")
+    )
+
+    def refine(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from geojson_utility_spark.functions.polyops import rings_intersect
+
+        for pdf in it:
+            keep = []
+            for ra, rb in zip(pdf["_ra"], pdf["_rb"]):
+                a = np.asarray(_json.loads(ra), dtype=np.float64)
+                b = np.asarray(_json.loads(rb), dtype=np.float64)
+                keep.append(rings_intersect(a, b))
+            yield pdf.loc[keep, ["a_id", "b_id"]]
+
+    schema = "a_id string, b_id string"
+    return pairs.mapInPandas(refine, schema)
+
+
 def cell_heat_stats(points: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM) -> DataFrame:
     """Engine metric: per-cell point density (groupBy count — partial agg map-side)."""
     return (

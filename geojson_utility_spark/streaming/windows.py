@@ -113,6 +113,24 @@ def run_session_query(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, id_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming arm of operators/dedup.dedup_exact.
+
+    ``dropDuplicatesWithinWatermark``: emits the FIRST occurrence of each id-key and
+    suppresses re-deliveries arriving within the watermark of it, while EVICTING
+    each key's state once the watermark passes — bounded state for an unbounded
+    stream (plain dropDuplicates on a stream retains every key forever).  The
+    contract a replayed/at-least-once source needs: duplicates land within the
+    redelivery window; a recurrence AFTER the watermark is treated as a new event
+    by design (state for it was reclaimed).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
 def run_windowed_query(
     spark: SparkSession,
     path_dir: str,

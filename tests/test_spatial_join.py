@@ -140,3 +140,59 @@ def test_single_scan_matches_default(spark):
     )
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_polygon_intersect_join_matches_bruteforce(spark):
+    """Cover-candidate + exact kernel == all-pairs kernel on mixed fixture rings."""
+    import itertools
+
+    from geojson_utility_spark.functions.polyops import rings_intersect
+    from geojson_utility_spark.operators.spatial_join import polygon_intersect_join
+
+    pdf = FX.make_polygons(25)[["polygon_id", "geojson"]]
+    a = spark.createDataFrame(pdf.iloc[:15])
+    b = spark.createDataFrame(
+        pdf.iloc[10:].assign(polygon_id=lambda d: "b_" + d["polygon_id"])
+    )
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in polygon_intersect_join(a, b, zoom=12).collect()
+    }
+    # brute force with the same kernel over normalized rings
+    from geojson_utility_spark.functions import geometry as G
+
+    def rings(frame):
+        out = {}
+        for pid, gj in zip(frame["polygon_id"], frame["geojson"]):
+            norm, err = G.normalize_polygon_geojson(gj)
+            if err:
+                continue
+            out[pid] = np.asarray(G.extract_outer_ring(norm), dtype=np.float64)
+        return out
+
+    ra = rings(pdf.iloc[:15])
+    rb = {("b_" + k): v for k, v in rings(pdf.iloc[10:]).items()}
+    want = {
+        (ka, kb)
+        for (ka, va), (kb, vb) in itertools.product(ra.items(), rb.items())
+        if rings_intersect(va, vb)
+    }
+    assert got == want and len(want) > 0
+
+
+def test_rings_intersect_kernel_cases():
+    from geojson_utility_spark.functions.polyops import rings_intersect
+
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+    )
+    assert rings_intersect(sq(0, 0, 2), sq(1, 1, 2))          # overlap
+    assert rings_intersect(sq(0, 0, 4), sq(1, 1, 1))          # containment
+    assert rings_intersect(sq(1, 1, 1), sq(0, 0, 4))          # contained (swapped)
+    assert rings_intersect(sq(0, 0, 1), sq(1, 0, 1))          # edge touch
+    assert rings_intersect(sq(0, 0, 1), sq(1, 1, 1))          # corner touch
+    assert not rings_intersect(sq(0, 0, 1), sq(3, 3, 1))      # disjoint
+    # crossing with no contained vertex (plus shape): thin horizontal x thin vertical
+    horiz = np.array([[-3, -0.1], [3, -0.1], [3, 0.1], [-3, 0.1], [-3, -0.1]])
+    vert = np.array([[-0.1, -3], [0.1, -3], [0.1, 3], [-0.1, 3], [-0.1, -3]])
+    assert rings_intersect(horiz, vert)

@@ -265,3 +265,50 @@ def test_session_streaming_matches_batch(spark, tmp_path, sf_dir):
     assert len(got) == len(want)
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (got["session_end"].to_numpy() == want["session_end"].to_numpy()).all()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, sf_dir):
+    """dropDuplicatesWithinWatermark: re-delivered events within the watermark are
+    suppressed across micro-batches; state is evicted (bounded) by the watermark."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from geojson_utility_spark.streaming.windows import EVENTS_SCHEMA, streaming_dedup
+
+    src = str(tmp_path / "events_dedup")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows1 = [(1, base, 7, "a", 1.0, "{}"), (2, base + dt.timedelta(minutes=5), 7, "b", 2.0, "{}")]
+    rows2 = [(1, base, 7, "a", 1.0, "{}"),  # exact redelivery of event 1
+             (3, base + dt.timedelta(minutes=10), 7, "c", 3.0, "{}")]
+
+    def feed(rows, name):
+        df = spark.createDataFrame(rows, schema=EVENTS_SCHEMA)
+        out = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.parquet(out)
+        shutil.copy(glob.glob(out + "/part-*.parquet")[0], f"{src}/{name}.parquet")
+
+    feed(rows1, "b1")
+    from pyspark.sql import functions as F  # noqa: F401
+
+    stream = streaming_dedup(
+        spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src),
+        ["event_id"],
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed(rows2, "b2")  # second micro-batch carries the duplicate
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id FROM dedup_test ORDER BY event_id").toPandas()
+    finally:
+        q.stop()
+    assert out["event_id"].tolist() == [1, 2, 3]  # the redelivered 1 was suppressed
