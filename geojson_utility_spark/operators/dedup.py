@@ -334,6 +334,9 @@ def hamming_pairs_probed(
             f"1-bit-probe recall guarantee needs max_distance <= 2*n_chunks - 1 "
             f"(got n_chunks={n_chunks}, max_distance={max_distance})"
         )
+    if n_chunks > n_bits:
+        # zero-width chunks would bucket EVERY row together -> O(N^2) join
+        raise ValueError(f"n_chunks={n_chunks} exceeds n_bits={n_bits}")
     bounds = _chunk_bounds(n_bits, n_chunks)
     ids = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
     exact = ids.select(
@@ -527,6 +530,10 @@ def ngram_jaccard_pairs_exact(
     come from the join group counts, union sizes from per-doc distinct-shingle
     counts.  This is also the oracle-checkable verify stage of MinHash-LSH (the
     probabilistic pipeline's output is a subset of this result by construction).
+
+    The distinct-shingle frame is cached for its three consumers (sizes + both join
+    sides); long-lived sessions issuing many corpora should unpersist via
+    ``spark.catalog.clearCache()`` between batches (the cache is per-call state).
     """
     norm = _spread(
         df.select(

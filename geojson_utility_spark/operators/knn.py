@@ -41,8 +41,16 @@ def haversine_expr(lat1, lon1, lat2, lon2):
     return F.lit(2.0 * 6371.0088) * F.asin(F.sqrt(a))
 
 
-def _replicated_index(targets: DataFrame, zoom: int, radius: int) -> DataFrame:
-    """Each target copied into every cell within Chebyshev ``radius`` of its own."""
+def _replicated_index(
+    targets: DataFrame, zoom: int, radius: int, radius_col: str | None = None
+) -> DataFrame:
+    """Each target copied into every cell within Chebyshev ``radius`` of its own.
+
+    ``radius_col``: optional per-target radius column (<= ``radius``) — the offsets
+    table is sized by the max radius and each target keeps only its own ring (the
+    range join's per-latitude replication).  One cell-packing implementation serves
+    both kNN and the range join, so the layout can never drift between them.
+    """
     spark = targets.sparkSession
     offs = [
         (dx, dy)
@@ -52,11 +60,14 @@ def _replicated_index(targets: DataFrame, zoom: int, radius: int) -> DataFrame:
     offsets = F.broadcast(spark.createDataFrame(pd.DataFrame(offs, columns=["dx", "dy"])))
     n = F.lit(1 << zoom).cast("long")
     tx, ty = tile_xy_expr(F.col("t_lat"), F.col("t_lon"), zoom)
+    rep = targets.withColumn("_tx", tx).withColumn("_ty", ty).crossJoin(offsets)
+    if radius_col is not None:
+        rep = rep.filter(
+            (F.abs(F.col("dx")) <= F.col(radius_col))
+            & (F.abs(F.col("dy")) <= F.col(radius_col))
+        )
     rep = (
-        targets.withColumn("_tx", tx)
-        .withColumn("_ty", ty)
-        .crossJoin(offsets)
-        .withColumn("_ry", F.col("_ty") + F.col("dy"))
+        rep.withColumn("_ry", F.col("_ty") + F.col("dy"))
         .filter((F.col("_ry") >= 0) & (F.col("_ry") < n))
         .withColumn(
             "cell",
@@ -246,39 +257,13 @@ def within_distance_join(
     tgt_r = tgt.withColumn("_r", r_t.cast("int"))
     r_max = tgt_r.agg(F.max("_r")).first()[0]
     if r_max is None:
+        tid_type = dict(tgt.dtypes)["target_id"]
         return pts.limit(0).select(
             "point_id",
-            F.lit(None).cast("string").alias("target_id"),
+            F.lit(None).cast(tid_type).alias("target_id"),
             F.lit(None).cast("double").alias("dist_km"),
         )
-    spark = points.sparkSession
-    offs = [
-        (dx, dy)
-        for dx in range(-r_max, r_max + 1)
-        for dy in range(-r_max, r_max + 1)
-    ]
-    offsets = F.broadcast(
-        spark.createDataFrame(pd.DataFrame(offs, columns=["dx", "dy"]))
-    )
-    n = F.lit(1 << zoom).cast("long")
-    tx, ty = tile_xy_expr(F.col("t_lat"), F.col("t_lon"), zoom)
-    index = (
-        tgt_r.withColumn("_tx", tx)
-        .withColumn("_ty", ty)
-        .crossJoin(offsets)
-        .filter(
-            (F.abs(F.col("dx")) <= F.col("_r")) & (F.abs(F.col("dy")) <= F.col("_r"))
-        )
-        .withColumn("_ry", F.col("_ty") + F.col("dy"))
-        .filter((F.col("_ry") >= 0) & (F.col("_ry") < n))
-        .withColumn(
-            "cell",
-            F.lit(zoom).cast("long") * F.lit(1 << 58).cast("long")
-            + F.pmod(F.col("_tx") + F.col("dx"), n) * F.lit(1 << 29).cast("long")
-            + F.col("_ry"),
-        )
-        .select("cell", "target_id", "t_lat", "t_lon")
-    )
+    index = _replicated_index(tgt_r, zoom, int(r_max), radius_col="_r")
     dist = haversine_expr(
         F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon")
     )
@@ -334,9 +319,17 @@ def knn_brute_force_arrow(
 
     spark = points.sparkSession
     trows = sorted(
-        _collected_targets
-        if _collected_targets is not None
-        else targets.select(target_id, "lat", "lon").collect(),
+        (
+            r
+            for r in (
+                _collected_targets
+                if _collected_targets is not None
+                else targets.select(target_id, "lat", "lon").collect()
+            )
+            # null coordinates cannot be ranked — skip, matching the grid path
+            # (cell_expr yields null -> the row never joins)
+            if r[1] is not None and r[2] is not None
+        ),
         key=lambda r: r[0],
     )
     tids = [r[0] for r in trows]

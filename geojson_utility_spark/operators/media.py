@@ -106,7 +106,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """Per-clip features (decode -> numpy kernels): duration, RMS dBFS, ZCR, peak."""
+    """Per-clip features (decode -> numpy kernels): duration, RMS dBFS, ZCR, peak.
+
+    Undecodable clips are OMITTED from the output (a feature row has no sensible
+    error shape) — run :func:`decode_and_verify_audio` first for the per-row error
+    report; the same contract applies to frame_sample/video_features."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -58,6 +58,18 @@ def _collect_query_matrix(
     return qids, qmat
 
 
+def _empty_topk(
+    vectors: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Typed empty result: id columns keep the INPUT types (a hardcoded string
+    schema would break unionByName/joins for bigint ids on the empty-query edge)."""
+    qid_type = dict(queries.select(query_id_col).dtypes)[query_id_col]
+    vid_type = dict(vectors.select(id_col).dtypes)[id_col]
+    return vectors.sparkSession.createDataFrame(
+        [], f"query_id {qid_type}, vec_id {vid_type}, cosine double, rank int"
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -79,9 +91,7 @@ def cosine_topk(
     spark = vectors.sparkSession
     qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
     if len(qids) == 0:
-        empty = spark.createDataFrame([], "query_id string, vec_id string, "
-                                          "cosine double, rank int")
-        return empty
+        return _empty_topk(vectors, queries, id_col, query_id_col)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
     bc = spark.sparkContext.broadcast((qmat, qnorm))
 
@@ -104,10 +114,14 @@ def cosine_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, (vm @ qm.T) / denom, 0.0)
             # per-query tie-safe top-k: keep every row with cos >= k-th best —
-            # the global top-k under (cosine desc, vec_id asc) is inside this set
+            # the global top-k under (cosine desc, vec_id asc) is inside this set.
+            # NaN embeddings make their whole row NaN: rank them as -inf so a batch
+            # of NaN rows cannot poison kth (NaN >= NaN is False — every valid row
+            # of the batch would be dropped silently)
+            cos_rank = np.where(np.isnan(cos), -np.inf, cos)
             if n > k:
-                kth = np.partition(cos, n - k, axis=0)[n - k, :]
-                keep = cos >= kth[None, :]
+                kth = np.partition(cos_rank, n - k, axis=0)[n - k, :]
+                keep = cos_rank >= kth[None, :]
             else:
                 keep = np.ones((n, nq), dtype=bool)
             rows, qidx = np.nonzero(keep)
@@ -192,8 +206,7 @@ def ivf_topk(
     spark = vectors.sparkSession
     qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
     if len(qids) == 0:
-        return spark.createDataFrame([], "query_id string, vec_id string, "
-                                         "cosine double, rank int")
+        return _empty_topk(vectors, queries, id_col, query_id_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     # deterministic training sample: hash-spaced over ids (NOT limit/sample, whose
     # row choice depends on partition layout)
@@ -243,9 +256,10 @@ def ivf_topk(
                         denom > 0, (vm[members] @ qm[qs].T) / denom, 0.0
                     )
                 m = len(members)
+                cos_rank = np.where(np.isnan(cos), -np.inf, cos)
                 if m > k:
-                    kth = np.partition(cos, m - k, axis=0)[m - k, :]
-                    keep = cos >= kth[None, :]
+                    kth = np.partition(cos_rank, m - k, axis=0)[m - k, :]
+                    keep = cos_rank >= kth[None, :]
                 else:
                     keep = np.ones((m, len(qs)), dtype=bool)
                 mi, qj = np.nonzero(keep)
@@ -323,8 +337,7 @@ def lsh_topk(
     spark = vectors.sparkSession
     qids, qmat = _collect_query_matrix(queries, query_id_col, vec_col)
     if len(qids) == 0:
-        return spark.createDataFrame([], "query_id string, vec_id string, "
-                                         "cosine double, rank int")
+        return _empty_topk(vectors, queries, id_col, query_id_col)
     if dim is None:
         dim = qmat.shape[1]
     planes = np.concatenate(

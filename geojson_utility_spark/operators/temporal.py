@@ -44,26 +44,28 @@ def as_of_join(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
+    # carry the payload as ONE struct: last(ignorenulls) must pick ALL columns from
+    # the same (latest) right row — per-column carries would resurrect older values
+    # wherever the matched row holds a NULL, fabricating a row that never existed
     r = right.select(
         F.col(key).alias(key),
         F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_side"),  # right rows sort BEFORE left rows at equal ts
-        *payload,
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     left_cols = left.columns
+    r_struct_type = dict(r.dtypes)["_r"]
     l = left.select(
         *left_cols,
         F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(r.dtypes)[f"_r_{c}"]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     unioned = l.select(
-        key, "_ts", "_side", *[f"_r_{c}" for c in right_cols],
-        *[c for c in left_cols if c != key],
+        key, "_ts", "_side", "_r", *[c for c in left_cols if c != key]
     ).unionByName(
         r.select(
-            key, "_ts", "_side", *[f"_r_{c}" for c in right_cols],
+            key, "_ts", "_side", "_r",
             *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in left_cols if c != key],
         )
     )
@@ -74,16 +76,11 @@ def as_of_join(
     )
     carried = unioned.select(
         key,
-        "_ts",
         "_side",
         *[c for c in left_cols if c != key],
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in right_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    out = carried.filter(F.col("_side") == 1).select(
+    return carried.filter(F.col("_side") == 1).select(
         *left_cols,
-        *[F.col(f"_r_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_r.{c}").alias(c) for c in right_cols],
     )
-    return out

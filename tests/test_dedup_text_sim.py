@@ -317,3 +317,26 @@ def test_hamming_pairs_probed_matches_exact(spark):
     assert got == want and (0, 1, 4) in got
     with pytest.raises(ValueError):
         D.hamming_pairs_probed(df, "id", "h", max_distance=6, n_chunks=3)
+
+
+def test_cosine_topk_nan_batch_not_poisoned(spark, embeddings):
+    """>= k NaN embeddings in one batch must not drop the batch's valid rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    base = embeddings.select("vec_id", "embedding").limit(20)
+    nan_vec = [float("nan")] * 64
+    bad = spark.createDataFrame(
+        [(900000 + i, nan_vec) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    mixed = base.unionByName(bad).coalesce(1)  # one batch holds NaNs + valid rows
+    queries = base.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = (
+        __import__("geojson_utility_spark.operators.similarity", fromlist=["cosine_topk"])
+        .cosine_topk(mixed, queries, k=3)
+        .toPandas()
+    )
+    # rank-1 must be the self-match, and no result row is a NaN vector
+    for qid, grp in got.groupby("query_id"):
+        assert grp.sort_values("rank")["vec_id"].iloc[0] == qid
+        assert (grp["vec_id"] < 900000).all()

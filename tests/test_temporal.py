@@ -57,3 +57,22 @@ def test_as_of_plan_keyed_window(spark, asof_frames):
     )
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(k" in plan
+
+
+def test_as_of_null_payload_not_resurrected(spark):
+    """A NULL in the matched right row must NOT be backfilled from an older right
+    row — the payload is carried as one struct (DuckDB ASOF row semantics)."""
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-30"]), "lv": ["x"]})
+    )
+    import datetime as dt
+
+    r = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10), 10.0, 5.0),
+         (1, dt.datetime(2024, 1, 20), None, 7.0)],
+        "k long, rts timestamp, price double, qty double",
+    )
+    out = as_of_join(l, r, key="k", left_ts="ts", right_ts="rts",
+                     right_cols=["price", "qty"]).toPandas()
+    assert pd.isna(out["price"].iloc[0])   # NOT 10.0 from the older row
+    assert out["qty"].iloc[0] == 7.0
