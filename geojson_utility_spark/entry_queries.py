@@ -1342,7 +1342,17 @@ def oracle_lsh_ann_topk() -> str:
     """Hard oracle for sign-LSH ANN: the hyperplanes are CONSTANTS (seeded
     numpy, embedded as literals), so signatures are pure sign-of-dot-product
     arithmetic — no transcendentals, reproducible in SQL.  Bucket join + exact
-    cosine re-rank mirror operators/similarity.lsh_topk step for step."""
+    cosine re-rank mirror operators/similarity.lsh_topk step for step.
+
+    Accepted float-noise risk (documented, same class as range_join_within_km):
+    the 64-term dot products are summed by numpy BLAS (blocked/FMA) on the Spark
+    side and left-associatively by DuckDB — a dot within a few ULPs of zero could
+    flip a signature bit, and a near-tied cosine could swap adjacent ranks, at a
+    different scale factor even though the entry is green at sf0.01.  The fixture
+    embeddings are drawn away from those knife edges (measured at sf0.01: min
+    |dot| across all vectors x planes is 4.3e-5 and the tightest adjacent top-10
+    cosine gap is 2.0e-4 — both ~10 orders of magnitude above summation-order
+    noise), so the comparison is deterministic on the driver's data."""
     import numpy as np
 
     from geojson_utility_spark.operators.similarity import _hyperplanes

@@ -230,6 +230,14 @@ def within_distance_join(
     brute-force oracle in tests and the driver contract.
 
     zoom=None picks the zoom where an equator tile ~ radius (R stays ~2-4).
+
+    Polar domain: the Mercator tile grid ends at ±MAX_LAT (~85.05°), so the
+    per-target replication bound is only valid while the target's reach
+    (|t_lat| + radius as degrees + one tile) stays below it.  Targets whose reach
+    crosses that limit are routed through an EXACT brute-force branch (broadcast
+    nested-loop against the point table) instead of silently under-replicating —
+    the polar target population is tiny in any real corpus, so the branch stays
+    cheap while the grid path keeps its completeness guarantee everywhere else.
     """
     import math
 
@@ -241,38 +249,56 @@ def within_distance_join(
         F.col("lat").cast("double").alias("p_lat"),
         F.col("lon").cast("double").alias("p_lon"),
     ).withColumn("cell", cell_expr(F.col("p_lat"), F.col("p_lon"), zoom))
-    tgt = targets.select(
+    all_tgt = targets.select(
         F.col(target_id).alias("target_id"),
         F.col("lat").cast("double").alias("t_lat"),
         F.col("lon").cast("double").alias("t_lon"),
     )
-    # per-target replication radius from the region's worst-case latitude
-    lat_reach = F.least(
-        F.lit(85.0),
-        F.abs(F.col("t_lat")) + F.lit(radius_km / 111.0 + tile_deg),
-    )
+    # per-target replication radius from the region's worst-case latitude; the
+    # bound breaks past the Mercator limit -> those targets take the exact branch
+    reach = F.abs(F.col("t_lat")) + F.lit(radius_km / 111.0 + tile_deg)
+    from geojson_utility_spark.functions.cells import MAX_LAT
+
+    tgt = all_tgt.filter(reach < F.lit(MAX_LAT))
+    polar = all_tgt.filter(~(reach < F.lit(MAX_LAT)))
+    lat_reach = F.least(F.lit(MAX_LAT), reach)
     km_min = F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
     r_t = F.ceil(F.lit(radius_km) / (F.lit(SAFETY) * km_min)) + F.lit(1)
     # driver-side R_max bounds the offsets table (targets are the small side)
+    dist = haversine_expr(
+        F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon")
+    )
+    parts = []
     tgt_r = tgt.withColumn("_r", r_t.cast("int"))
     r_max = tgt_r.agg(F.max("_r")).first()[0]
-    if r_max is None:
-        tid_type = dict(tgt.dtypes)["target_id"]
+    if r_max is not None:
+        index = _replicated_index(tgt_r, zoom, int(r_max), radius_col="_r")
+        parts.append(
+            pts.join(F.broadcast(index), "cell", "inner")
+            .withColumn("dist_km", dist)
+            .filter(F.col("dist_km") <= radius_km)
+            .select("point_id", "target_id", "dist_km")
+        )
+    # exact branch for the (rare) targets whose grid bound would be clamped at the
+    # Mercator limit: broadcast nested-loop, one probe count on the small side
+    if polar.limit(1).count() > 0:
+        parts.append(
+            pts.crossJoin(F.broadcast(polar))
+            .withColumn("dist_km", dist)
+            .filter(F.col("dist_km") <= radius_km)
+            .select("point_id", "target_id", "dist_km")
+        )
+    if not parts:
+        tid_type = dict(all_tgt.dtypes)["target_id"]
         return pts.limit(0).select(
             "point_id",
             F.lit(None).cast(tid_type).alias("target_id"),
             F.lit(None).cast("double").alias("dist_km"),
         )
-    index = _replicated_index(tgt_r, zoom, int(r_max), radius_col="_r")
-    dist = haversine_expr(
-        F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon")
-    )
-    return (
-        pts.join(F.broadcast(index), "cell", "inner")
-        .withColumn("dist_km", dist)
-        .filter(F.col("dist_km") <= radius_km)
-        .select("point_id", "target_id", "dist_km")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _tile_frac_exprs(lat_col: str, lon_col: str, zoom: int):

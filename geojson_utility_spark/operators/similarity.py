@@ -115,15 +115,19 @@ def cosine_topk(
                 cos = np.where(denom > 0, (vm @ qm.T) / denom, 0.0)
             # per-query tie-safe top-k: keep every row with cos >= k-th best —
             # the global top-k under (cosine desc, vec_id asc) is inside this set.
-            # NaN embeddings make their whole row NaN: rank them as -inf so a batch
-            # of NaN rows cannot poison kth (NaN >= NaN is False — every valid row
-            # of the batch would be dropped silently)
-            cos_rank = np.where(np.isnan(cos), -np.inf, cos)
+            # Non-finite cosines (inf components survive the denom>0 guard as NaN)
+            # are masked UNCONDITIONALLY in both branches: ranking them as -inf
+            # stops them poisoning kth, and the finite mask stops them reaching the
+            # Spark window (which sorts NaN above every double DESC — rank 1), so
+            # the result never depends on Arrow batch/partition layout.
+            finite = np.isfinite(cos)
+            cos_rank = np.where(finite, cos, -np.inf)
             if n > k:
                 kth = np.partition(cos_rank, n - k, axis=0)[n - k, :]
                 keep = cos_rank >= kth[None, :]
             else:
                 keep = np.ones((n, nq), dtype=bool)
+            keep &= finite
             rows, qidx = np.nonzero(keep)
             yield pa.RecordBatch.from_arrays(
                 [
@@ -256,12 +260,15 @@ def ivf_topk(
                         denom > 0, (vm[members] @ qm[qs].T) / denom, 0.0
                     )
                 m = len(members)
-                cos_rank = np.where(np.isnan(cos), -np.inf, cos)
+                # same unconditional non-finite mask as cosine_topk (see there)
+                finite = np.isfinite(cos)
+                cos_rank = np.where(finite, cos, -np.inf)
                 if m > k:
                     kth = np.partition(cos_rank, m - k, axis=0)[m - k, :]
                     keep = cos_rank >= kth[None, :]
                 else:
                     keep = np.ones((m, len(qs)), dtype=bool)
+                keep &= finite
                 mi, qj = np.nonzero(keep)
                 rows_out.append(members[mi])
                 qidx_out.append(qs[qj])
@@ -405,10 +412,24 @@ def lsh_topk(
             denom = np.sqrt((vm * vm).sum(axis=1)) * qn[qi]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, dots / denom, 0.0)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column("vec_id"), batch.column("_qidx"), pa.array(cos)],
-                ["vec_id", "_qidx", "cosine"],
-            )
+            # drop non-finite cosines (inf-component vectors) before the rank
+            # window — Spark sorts NaN above all doubles DESC
+            ok = np.isfinite(cos)
+            if not ok.all():
+                sel = pa.array(ok)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("vec_id").filter(sel),
+                        batch.column("_qidx").filter(sel),
+                        pa.array(cos[ok]),
+                    ],
+                    ["vec_id", "_qidx", "cosine"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("vec_id"), batch.column("_qidx"), pa.array(cos)],
+                    ["vec_id", "_qidx", "cosine"],
+                )
 
     scored = cand_v.mapInArrow(
         rerank_kernel, f"vec_id {pid_type}, _qidx int, cosine double"

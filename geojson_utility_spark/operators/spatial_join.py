@@ -572,8 +572,16 @@ def polygon_intersect_join(
     """
     import json as _json
 
-    na = normalize_polygons(polys_a).filter(F.col("poly_errors") == "")
-    nb = normalize_polygons(polys_b).filter(F.col("poly_errors") == "")
+    # normalize_polygons carries polygon_id as string internally; the final select
+    # casts a_id/b_id back to the INPUT id types so non-string ids round-trip
+    a_id_type = dict(polys_a.dtypes).get("polygon_id", "string")
+    b_id_type = dict(polys_b.dtypes).get("polygon_id", "string")
+    na = normalize_polygons(
+        polys_a.withColumn("polygon_id", F.col("polygon_id").cast("string"))
+    ).filter(F.col("poly_errors") == "")
+    nb = normalize_polygons(
+        polys_b.withColumn("polygon_id", F.col("polygon_id").cast("string"))
+    ).filter(F.col("poly_errors") == "")
     ca = polygon_cover(na.select("polygon_id", "ring_json", "poly_errors"),
                        zoom=zoom, compact=False).select(
         F.col("polygon_id").alias("a_id"), "cell"
@@ -602,7 +610,10 @@ def polygon_intersect_join(
             yield pdf.loc[keep, ["a_id", "b_id"]]
 
     schema = "a_id string, b_id string"
-    return pairs.mapInPandas(refine, schema)
+    return pairs.mapInPandas(refine, schema).select(
+        F.col("a_id").cast(a_id_type).alias("a_id"),
+        F.col("b_id").cast(b_id_type).alias("b_id"),
+    )
 
 
 def cell_heat_stats(points: DataFrame, zoom: int = DEFAULT_JOIN_ZOOM) -> DataFrame:

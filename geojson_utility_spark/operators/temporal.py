@@ -36,7 +36,28 @@ def as_of_join(
     precedes the left row — LEFT-join semantics).
     tiebreaker: right column deciding among equal right_ts per key (greatest wins);
     required if (key, right_ts) is not unique.
+
+    Name hygiene: the implementation reserves ``_ts``/``_side``/``_r`` internally and
+    re-attaches ``right_cols`` under their original names — inputs colliding with
+    either are rejected up front (silently wrong output otherwise).
     """
+    reserved = {"_ts", "_side", "_r"}
+    clash = reserved.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join: left columns {sorted(clash)} collide with reserved "
+            "internal names (_ts, _side, _r) — rename them before the join"
+        )
+    out_clash = set(right_cols).intersection(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"as_of_join: right_cols {sorted(out_clash)} collide with left columns "
+            "— alias the right payload (e.g. right.withColumnRenamed) before the join"
+        )
+    if reserved.intersection(right_cols):
+        raise ValueError(
+            "as_of_join: right_cols may not use reserved names (_ts, _side, _r)"
+        )
     if tiebreaker:
         w_dedup = Window.partitionBy(key, right_ts).orderBy(F.col(tiebreaker).desc())
         right = (

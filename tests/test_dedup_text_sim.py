@@ -340,3 +340,23 @@ def test_cosine_topk_nan_batch_not_poisoned(spark, embeddings):
     for qid, grp in got.groupby("query_id"):
         assert grp.sort_values("rank")["vec_id"].iloc[0] == qid
         assert (grp["vec_id"] < 900000).all()
+
+
+def test_cosine_topk_inf_rows_partition_independent(spark, embeddings):
+    """Vectors with inf components (dot=NaN, denom=inf>0) are excluded from top-k
+    regardless of Arrow batch/partition layout (ADVICE r2: the n<=k branch used
+    to pass them through and Spark ranks NaN first DESC)."""
+    from pyspark.sql import functions as F
+
+    from geojson_utility_spark.operators.similarity import cosine_topk
+
+    base = embeddings.select("vec_id", "embedding").limit(2)  # n <= k branch
+    inf_vec = [float("inf")] * 64
+    bad = spark.createDataFrame(
+        [(910000, inf_vec)], "vec_id long, embedding array<float>"
+    )
+    queries = base.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    for layout in (lambda d: d.coalesce(1), lambda d: d.repartition(4)):
+        got = cosine_topk(layout(base.unionByName(bad)), queries, k=3).toPandas()
+        assert (got["vec_id"] != 910000).all()
+        assert got["cosine"].notna().all()

@@ -169,3 +169,36 @@ def test_within_distance_join_empty_targets(spark, knn_data):
     pts_df, tgt_df = knn_data
     out = within_distance_join(pts_df, tgt_df.filter(F.lit(False)), radius_km=50.0)
     assert out.count() == 0
+
+
+def test_within_distance_join_polar_targets(spark):
+    """Targets past the Mercator clamp take the exact branch — pairs poleward of
+    ~85 deg are no longer missed (ADVICE r2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geojson_utility_spark.operators.knn import haversine_expr, within_distance_join
+
+    rng = np.random.default_rng(7)
+    pts = pd.DataFrame({
+        "point_id": range(400),
+        "lat": np.concatenate([rng.uniform(84.0, 90.0, 200), rng.uniform(-60, 60, 200)]),
+        "lon": rng.uniform(-180, 180, 400),
+    })
+    tgt = pd.DataFrame({
+        "target_id": range(8),
+        "lat": [86.5, 89.0, -87.0, 85.2, 10.0, 45.0, -30.0, 84.9],
+        "lon": [0.0, 120.0, -60.0, 33.0, 77.0, -100.0, 5.0, 179.0],
+    })
+    pts_df, tgt_df = spark.createDataFrame(pts), spark.createDataFrame(tgt)
+    got = within_distance_join(pts_df, tgt_df, radius_km=300.0).toPandas()
+    dist = haversine_expr(F.col("p_lat"), F.col("p_lon"), F.col("t_lat"), F.col("t_lon"))
+    want = (
+        pts_df.select("point_id", F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon"))
+        .crossJoin(tgt_df.select("target_id", F.col("lat").alias("t_lat"), F.col("lon").alias("t_lon")))
+        .withColumn("d", dist).filter(F.col("d") <= 300.0).toPandas()
+    )
+    g = set(map(tuple, got[["point_id", "target_id"]].values))
+    w = set(map(tuple, want[["point_id", "target_id"]].values))
+    assert g == w and any(t in (0, 1, 2) for _, t in w)

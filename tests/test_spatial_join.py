@@ -196,3 +196,16 @@ def test_rings_intersect_kernel_cases():
     horiz = np.array([[-3, -0.1], [3, -0.1], [3, 0.1], [-3, 0.1], [-3, -0.1]])
     vert = np.array([[-0.1, -3], [0.1, -3], [0.1, 3], [-0.1, 3], [-0.1, -3]])
     assert rings_intersect(horiz, vert)
+
+
+def test_polygon_intersect_join_bigint_ids(spark):
+    """Non-string polygon ids round-trip with their input types (ADVICE r2)."""
+    from geojson_utility_spark.operators.spatial_join import polygon_intersect_join
+
+    pdf = FX.make_polygons(10)[["polygon_id", "geojson"]].reset_index(drop=True)
+    pdf["polygon_id"] = pdf.index.astype("int64")
+    a = spark.createDataFrame(pdf)
+    out = polygon_intersect_join(a, a, zoom=12)
+    assert dict(out.dtypes) == {"a_id": "bigint", "b_id": "bigint"}
+    rows = out.collect()
+    assert all(isinstance(r["a_id"], int) for r in rows) and len(rows) >= 10

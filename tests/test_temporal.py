@@ -76,3 +76,13 @@ def test_as_of_null_payload_not_resurrected(spark):
                      right_cols=["price", "qty"]).toPandas()
     assert pd.isna(out["price"].iloc[0])   # NOT 10.0 from the older row
     assert out["qty"].iloc[0] == 7.0
+
+
+def test_as_of_rejects_colliding_names(spark, asof_frames):
+    l, r = asof_frames
+    with pytest.raises(ValueError, match="reserved"):
+        as_of_join(l.withColumn("_ts", l["ts"]), r, key="k", left_ts="ts",
+                   right_ts="rts", right_cols=["rv"])
+    with pytest.raises(ValueError, match="collide with left"):
+        as_of_join(l, r.withColumnRenamed("rv", "lv"), key="k", left_ts="ts",
+                   right_ts="rts", right_cols=["lv"])
