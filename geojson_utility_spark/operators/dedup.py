@@ -109,12 +109,29 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 8
+    signatures: DataFrame, n_bands: int = 8, bucket_cap: int | None = 20_000
 ) -> DataFrame:
     """LSH banding: split each signature into bands, bucket-join on (band, band-hash).
 
     Returns distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b).  The only shuffle
     is the equi-join on the banded bucket key — never an all-pairs compare.
+
+    Hot-bucket cap (the boilerplate defense, same treatment as hamming_pairs): a band
+    bucket shared by f docs contributes f^2 rows to the self-join, and web corpora
+    routinely put millions of near-identical template docs in ONE bucket.  Buckets
+    over ``bucket_cap`` are excluded from the single-band join; their rows are
+    re-keyed on PAIRS of that doc's over-cap bands ((band_i, bucket_i, band_j,
+    bucket_j), i < j), which drops the collision volume by another band-hash factor.
+
+    Candidate semantics with the cap (documented recall contract):
+    - a pair sharing any UNDER-cap band bucket is always a candidate (normal LSH);
+    - a pair sharing >= 2 over-cap band buckets is a candidate via the pair key;
+    - a pair whose ONLY agreement is a single over-cap bucket is NOT a candidate.
+      That pair is one borderline match inside a >bucket_cap-member template cluster;
+      high-similarity pairs agree on many bands (P[agree] = jaccard^rows_per_band per
+      band), so the ones the cap can drop are concentrated at the low-similarity edge
+      the verify stage would mostly reject anyway.  Pass ``bucket_cap=None`` for the
+      uncapped exact-LSH candidate set.
     """
     n_hashes_col = F.size(F.col("sig"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
@@ -131,18 +148,47 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if bucket_cap is None:
+        small = banded
+        cand_hot = None
+    else:
+        # bucket sizes via a window on the join key itself (exchange reuse)
+        wsize = Window.partitionBy("band", "bucket")
+        marked = banded.withColumn("_n", F.count("*").over(wsize))
+        small = marked.filter(F.col("_n") <= bucket_cap).drop("_n")
+        hot = marked.filter(F.col("_n") > bucket_cap).drop("_n")
+        hx, hy = hot.alias("x"), hot.alias("y")
+        hot_keys = hx.join(
+            hy,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.band") < F.col("y.band")),
+        ).select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.band").alias("_b1"),
+            F.col("x.bucket").alias("_k1"),
+            F.col("y.band").alias("_b2"),
+            F.col("y.bucket").alias("_k2"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
+        cand_hot = ha.join(
+            hb,
+            (F.col("a._b1") == F.col("b._b1"))
+            & (F.col("a._k1") == F.col("b._k1"))
+            & (F.col("a._b2") == F.col("b._b2"))
+            & (F.col("a._k2") == F.col("b._k2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    a = small.alias("a")
+    b = small.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if cand_hot is not None:
+        cand = cand.unionByName(cand_hot)
+    return cand.distinct()
 
 
 def jaccard_pairs(
@@ -221,15 +267,17 @@ def minhash_near_dups(
     n_hashes: int = 32,
     n_bands: int = 8,
     shingle_n: int = 8,
+    bucket_cap: int | None = 20_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
-    Jaccard verify -> pairs over threshold."""
+    Jaccard verify -> pairs over threshold.  ``bucket_cap`` bounds degenerate band
+    buckets (see :func:`minhash_candidate_pairs` for the recall contract)."""
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).localCheckpoint()
     # cache the (small) candidate-pair set: the verify stage consumes it twice
     # (doc semi-join + pair join)
-    cands = minhash_candidate_pairs(sigs, n_bands).cache()
+    cands = minhash_candidate_pairs(sigs, n_bands, bucket_cap=bucket_cap).cache()
     return jaccard_pairs(df, text_col, id_col, cands, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
@@ -519,21 +567,61 @@ def phash_near_dups(images: DataFrame, max_distance: int = 8) -> DataFrame:
     )
 
 
+def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin/All-Pairs prefix-filtered candidate pairs from a distinct
+    (doc_id, shingle) frame — EXACT for jaccard >= threshold.
+
+    Lemma (Bayardo et al., All-Pairs; Xiao et al., PPJoin): order every doc's
+    shingles by one GLOBAL total order; if |A ∩ B| >= α then the (|A| - α + 1)-prefix
+    of A and the (|B| - α + 1)-prefix of B share an element.  jaccard >= t implies
+    |A ∩ B| >= t·max(|A|, |B|) >= t·|X| for each side X, so joining only on each
+    doc's (|X| - ⌈t·|X|⌉ + 1) RAREST shingles (global order = document frequency
+    ascending, shingle value tiebreak) is a complete candidate generator.  A
+    stop-shingle shared by f docs lands in almost no prefix, so its f² posting-list
+    blowup never happens; the ε guard on the ceil keeps float t·|X| from rounding
+    the required overlap UP (a longer prefix is always complete).
+    """
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
+        "doc_id", "shingle"
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs_exact(
     df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 8
 ) -> DataFrame:
-    """EXACT all-pairs character n-gram Jaccard >= threshold — the inverted-index
-    join, never the N^2 cross product.
+    """EXACT all-pairs character n-gram Jaccard >= threshold — prefix-filtered
+    inverted-index join (PPJoin-style), never the N^2 cross product.
 
-    Any pair with jaccard >= threshold > 0 shares at least one shingle, so the
-    shingle equi-join enumerates a complete candidate superset; intersection sizes
-    come from the join group counts, union sizes from per-doc distinct-shingle
-    counts.  This is also the oracle-checkable verify stage of MinHash-LSH (the
-    probabilistic pipeline's output is a subset of this result by construction).
+    Candidates come from :func:`_prefix_candidates` — each doc joins only on its
+    (1-t)·|doc|+1 globally-rarest shingles, which is provably complete for
+    threshold t and kills the stop-shingle f² blowup the plain inverted index
+    suffers on web corpora (common 8-grams shared by a constant fraction of all
+    docs would otherwise make the join quadratic in practice).  Intersection sizes
+    then come from the FULL shingle sets of candidate docs only; union sizes from
+    per-doc distinct-shingle counts.  This is also the oracle-checkable verify
+    stage of MinHash-LSH (the probabilistic pipeline's output is a subset of this
+    result by construction).
 
-    The distinct-shingle frame is cached for its three consumers (sizes + both join
-    sides); long-lived sessions issuing many corpora should unpersist via
-    ``spark.catalog.clearCache()`` between batches (the cache is per-call state).
+    The distinct-shingle frame is cached for its consumers (sizes, frequency
+    ranking, and both verify join sides); long-lived sessions issuing many corpora
+    should unpersist via ``spark.catalog.clearCache()`` between batches (the cache
+    is per-call state).
     """
     norm = _spread(
         df.select(
@@ -560,11 +648,13 @@ def ngram_jaccard_pairs_exact(
         .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cand = _prefix_candidates(sh, sizes, threshold)
+    # verify: intersection over the FULL shingle sets, restricted to candidates
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -360,3 +360,93 @@ def test_cosine_topk_inf_rows_partition_independent(spark, embeddings):
         got = cosine_topk(layout(base.unionByName(bad)), queries, k=3).toPandas()
         assert (got["vec_id"] != 910000).all()
         assert got["cosine"].notna().all()
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """A boilerplate band bucket (2000 docs sharing band 0) must not explode into
+    |bucket|^2 candidates; pairs sharing a second band survive the cap."""
+    n_docs = 2000
+    rows = []
+    for i in range(n_docs):
+        # band 0 (sig[0:2]) identical across the corpus; other bands unique
+        rows.append((i, [1, 1, 100 + 10 * i, 1, 200 + 10 * i, 1, 300 + 10 * i, 1]))
+    # planted pair sharing bands 0 (hot) AND 1 -> must survive via the small path
+    rows.append((90000, [1, 1, 7, 7, 555001, 1, 555002, 1]))
+    rows.append((90001, [1, 1, 7, 7, 555003, 1, 555004, 1]))
+    # planted pair whose ONLY shared band is the hot one -> documented drop
+    rows.append((91000, [1, 1, 666001, 1, 666002, 1, 666003, 1]))
+    rows.append((91001, [1, 1, 666004, 1, 666005, 1, 666006, 1]))
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    capped = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=100).toPandas()
+    got = set(map(tuple, capped[["doc_a", "doc_b"]].values))
+    assert (90000, 90001) in got
+    assert (91000, 91001) not in got  # only-hot-band pair: documented recall contract
+    # bounded: nowhere near the ~2M uncapped pairs of the hot bucket
+    assert len(got) < 50
+    # uncapped mode keeps the complete LSH candidate set
+    sub = spark.createDataFrame(rows[:50] + rows[-4:], "doc_id long, sig array<bigint>")
+    full = D.minhash_candidate_pairs(sub, n_bands=4, bucket_cap=None).toPandas()
+    fullset = set(map(tuple, full[["doc_a", "doc_b"]].values))
+    assert (91000, 91001) in fullset and len(fullset) == 54 * 53 // 2
+
+
+def test_minhash_near_dups_unchanged_by_cap(spark, docs):
+    """bucket_cap defaults must not change results on a normal corpus."""
+    base = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).toPandas()
+    uncapped = D.minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, bucket_cap=None
+    ).toPandas()
+    b = set(map(tuple, base[["doc_a", "doc_b"]].values))
+    u = set(map(tuple, uncapped[["doc_a", "doc_b"]].values))
+    assert b == u and len(b) > 0
+
+
+def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
+    """Every doc shares one stop-shingle; prefix filtering must keep the candidate
+    volume near-linear instead of n^2/2, while staying exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    stop = "zzcommonz"  # > shingle_n=8 chars so it yields a shared 8-gram
+    n = 300
+    texts = []
+    for i in range(n):
+        body = "".join(rng.choice(list("abcdefghijklmnop"), size=64))
+        texts.append((i, body + stop))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    t = 0.5
+    # candidate volume: reconstruct the internal frames the operator uses
+    norm = df.select(
+        "doc_id", F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm")
+    )
+    sh = (
+        norm.select(
+            "doc_id", "_norm",
+            F.explode(F.sequence(F.lit(1), F.greatest(F.length("_norm") - 7, F.lit(1)))).alias("_i"),
+        )
+        .select("doc_id", F.substring(F.col("_norm"), F.col("_i"), F.lit(8)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    n_cand = D._prefix_candidates(sh, sizes, t).count()
+    assert n_cand < n * 8, f"prefix filter failed to prune: {n_cand} candidates"
+    # exactness on a corpus with planted near-dups + the stop shingle
+    texts2 = [(i, t2) for i, t2 in texts[:60]]
+    texts2.append((70000, texts[0][1]))  # exact dup of doc 0
+    texts2.append((70001, texts[1][1][:40] + texts[1][1][40:] + "x"))  # near dup
+    df2 = spark.createDataFrame(texts2, "doc_id long, text string")
+    got = D.ngram_jaccard_pairs_exact(df2, "text", "doc_id", threshold=t).toPandas()
+    # brute-force oracle
+    import itertools
+    def shingles(s):
+        s2 = s.lower()
+        return {s2[i:i + 8] for i in range(max(1, len(s2) - 7))}
+    sets = {i: shingles(t2) for i, t2 in texts2}
+    want = set()
+    for x, y in itertools.combinations(sorted(sets), 2):
+        j = len(sets[x] & sets[y]) / len(sets[x] | sets[y])
+        if j >= t:
+            want.add((x, y))
+    assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == want
+    assert (0, 70000) in want
