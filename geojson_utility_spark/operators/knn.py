@@ -147,10 +147,18 @@ def knn_join(
         F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
     )
 
-    # every round materializes its outputs (localCheckpoint truncates lineage) —
-    # otherwise round r+1's left_anti would recompute rounds 1..r's whole candidate
-    # pipeline, turning the escalation loop quadratic
-    unresolved = pts.localCheckpoint(eager=True)
+    # Escalation bookkeeping is IDS-ONLY (the round-2 checkpoint diet): each round
+    # eagerly checkpoints just the UNRESOLVED point ids — a geometrically shrinking
+    # minority — never the full point rows and never the k*N ranked candidates.
+    # Round r+1 rebuilds its input as pts SEMI JOIN undone_ids (broadcast when the
+    # id set is small, which is the normal case after round 1), so lineage stays
+    # one-scan-deep without writing the whole table to executor storage at 10^12
+    # points.  Cost model: each round's candidate window is computed twice (once
+    # driving the id checkpoint, once when the final union is consumed) — a
+    # broadcast equi-join + keyed window off the scan, which is far cheaper at
+    # scale than materializing k*N result rows to storage and reading them back.
+    BROADCAST_IDS_MAX = 5_000_000  # ids-only broadcast stays tens of MB
+    unresolved = pts
     resolved_parts: list[DataFrame] = []
     radius = initial_radius
     while radius <= max_radius:
@@ -160,7 +168,7 @@ def knn_join(
             cand.withColumn("dist_km", dist)
             .withColumn("knn_rank", F.row_number().over(w))
             .filter(F.col("knn_rank") <= k)
-        ).localCheckpoint(eager=True)
+        )
         kth = ranked.groupBy("point_id").agg(
             F.count("*").alias("_n"),
             F.max("dist_km").alias("_kth_km"),
@@ -173,17 +181,25 @@ def knn_join(
             F.lit(float(radius - 1)) * km_per_unit_at(lat_reach_kth) * F.lit(SAFETY)
         )
         done_ids = kth.filter((F.col("_n") >= k) & (F.col("_kth_km") <= bound_kth))
+        undone_ids = (
+            unresolved.select("point_id")
+            .join(done_ids.select("point_id"), "point_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_undone = undone_ids.count()
+        undone_small = (
+            F.broadcast(undone_ids) if n_undone <= BROADCAST_IDS_MAX else undone_ids
+        )
+        # done == not-undone within this round's candidate set
         resolved_parts.append(
-            ranked.join(done_ids.select("point_id"), "point_id", "left_semi").select(
+            ranked.join(undone_small, "point_id", "left_anti").select(
                 "point_id", "target_id", "dist_km", "knn_rank"
             )
         )
-        unresolved = unresolved.join(
-            done_ids.select("point_id"), "point_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        if unresolved.limit(1).count() == 0:
+        if n_undone == 0:
             unresolved = None
             break
+        unresolved = pts.join(undone_small, "point_id", "left_semi")
         radius *= 4
 
     if unresolved is not None and unresolved.limit(1).count() > 0:
