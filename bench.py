@@ -100,7 +100,7 @@ def bench_queries(spark):
 
     out = {
         "flagship_spatial_join": flagship,
-        "q1_pricing_summary": lambda: spark.sql(SHARED_SQL["q1_pricing_summary"]),
+        "q1_pricing_rollup": lambda: spark.sql(SHARED_SQL["q1_pricing_rollup"]),
         "q3_shipping_priority": lambda: spark.sql(SHARED_SQL["q3_shipping_priority"]),
         "q5_region_volume": lambda: spark.sql(SHARED_SQL["q5_region_volume"]),
         "window_running_sum": lambda: spark.sql(SHARED_SQL["window_running_sum"]),
@@ -127,7 +127,7 @@ def main():
     )
 
     qs["flagship_spatial_join"]().limit(1000).count()
-    qs["q1_pricing_summary"]().count()
+    qs["q1_pricing_rollup"]().count()
     _docs_warm = spark.table("documents").limit(300)
     _mh(_docs_warm, "text", "doc_id", 0.5).count()
     _sh(_docs_warm, "text", "doc_id").count()

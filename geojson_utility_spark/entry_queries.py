@@ -116,25 +116,21 @@ def _halfplane_sql() -> str:
 # ---------------------------------------------------------------------------
 
 SHARED_SQL: dict[str, str] = {
-    # A4/A9: groupBy-count (dashboard total-files analog)
-    "agg_count_per_user": (
-        "SELECT user_id, count(*) AS n_events FROM events "
-        "GROUP BY user_id"
-    ),
-    # A5: trailing-7-day count anchored at max(ts) — no wall clock
-    "agg_7day_window_count": (
-        "SELECT count(*) AS n FROM events WHERE ts >= "
-        "(SELECT max(ts) FROM events) - INTERVAL 7 DAY"
-    ),
-    # A6: coalesce(sum, 0) incl. empty-group behavior
-    "agg_coalesce_sum": (
-        "SELECT cast(coalesce(sum(cast(value AS decimal(18,6))), 0) AS double) "
-        "AS total_value FROM events WHERE event_type = 'purchase'"
-    ),
-    # A7: greatest(0, limit - used)
-    "agg_token_remaining": (
-        "SELECT user_id, greatest(0, 100 - count(*)) AS tokens_remaining "
+    # A4/A9 + A7 in one pass: groupBy-count (dashboard total-files analog) and
+    # greatest(0, limit - used) token arithmetic per user
+    "agg_user_counters": (
+        "SELECT user_id, count(*) AS n_events, "
+        "greatest(0, 100 - count(*)) AS tokens_remaining "
         "FROM events GROUP BY user_id"
+    ),
+    # A5 + A6 single-row probes: trailing-7-day count anchored at max(ts) (no wall
+    # clock) and coalesce(sum, 0) incl. empty-group behavior
+    "agg_global_probes": (
+        "SELECT "
+        "(SELECT count(*) FROM events WHERE ts >= "
+        "(SELECT max(ts) FROM events) - INTERVAL 7 DAY) AS n7day, "
+        "(SELECT cast(coalesce(sum(cast(value AS decimal(18,6))), 0) AS double) "
+        "FROM events WHERE event_type = 'purchase') AS total_value"
     ),
     # A8: percentage with guarded denominator (integer output: floor(1000*n/total))
     "agg_status_percentage": (
@@ -142,16 +138,19 @@ SHARED_SQL: dict[str, str] = {
         "FROM (SELECT event_type, count(*) AS n, "
         "(SELECT count(*) FROM events) AS total FROM events GROUP BY event_type) t"
     ),
-    # TPC-H Q1 shape: multi-agg groupBy (decimal-exact sums)
-    "q1_pricing_summary": (
+    # TPC-H Q1 shape + ROLLUP subtotals + exact distinct-counts, one statement:
+    # multi-agg groupBy (decimal-exact sums), grouping-sets family, count(DISTINCT)
+    "q1_pricing_rollup": (
         "SELECT l_returnflag, l_linestatus, "
         "cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty, "
         "cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price, "
         "cast(sum(cast(l_extendedprice AS decimal(18,2)) * "
         "cast(1 - l_discount AS decimal(8,4))) AS double) AS sum_disc_price, "
-        "count(*) AS count_order "
+        "count(*) AS count_order, "
+        "count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps "
         "FROM lineitem WHERE l_shipdate <= DATE '1997-09-01' "
-        "GROUP BY l_returnflag, l_linestatus"
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
     # TPC-H Q3 shape: 3-way join + agg + deterministic top-10
     "q3_shipping_priority": (
@@ -183,20 +182,20 @@ SHARED_SQL: dict[str, str] = {
         "row_number() OVER (PARTITION BY p_brand "
         "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) t WHERE rn <= 3"
     ),
-    # W2: pagination page 3 (rows 21-30), clamp-free case
+    # W2 + W2b, tag-unioned: offset pagination page 3 (rows 21-30, global
+    # row_number) and keyset pagination (the scale-safe page shape: range
+    # predicate + ORDER BY/LIMIT = TakeOrdered, no global window)
     "window_pagination": (
-        "SELECT o_orderkey, rn FROM ("
+        "SELECT 'offset' AS probe, o_orderkey, cast(rn AS string) AS val FROM ("
         "SELECT o_orderkey, row_number() OVER "
         "(ORDER BY o_orderdate DESC, o_orderkey) AS rn FROM orders) t "
-        "WHERE rn > 20 AND rn <= 30"
-    ),
-    # W2b: keyset pagination — the scale-safe page shape (range predicate +
-    # ORDER BY/LIMIT = TakeOrdered; no global row_number)
-    "window_keyset_pagination": (
-        "SELECT o_orderkey, o_orderdate FROM orders "
+        "WHERE rn > 20 AND rn <= 30 "
+        "UNION ALL "
+        "SELECT 'keyset' AS probe, o_orderkey, cast(o_orderdate AS string) AS val "
+        "FROM (SELECT o_orderkey, o_orderdate FROM orders "
         "WHERE o_orderdate < DATE '1997-06-30' "
         "OR (o_orderdate = DATE '1997-06-30' AND o_orderkey > 1000) "
-        "ORDER BY o_orderdate DESC, o_orderkey LIMIT 10"
+        "ORDER BY o_orderdate DESC, o_orderkey LIMIT 10) k"
     ),
     # W1: top-1 by timestamp per customer
     "window_last_order_per_customer": (
@@ -213,14 +212,13 @@ SHARED_SQL: dict[str, str] = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty "
         "FROM lineitem WHERE l_suppkey <= 3"
     ),
-    # semi join
-    "join_semi_customers_with_orders": (
-        "SELECT c_custkey, c_name FROM customer "
-        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
-    ),
-    # anti join (serviceability-gap analog)
-    "join_anti_customers_without_orders": (
-        "SELECT c_custkey, c_name FROM customer "
+    # semi + anti join, tag-unioned (serviceability-gap analog keeps both plans:
+    # Spark compiles the two branches to LeftSemi and LeftAnti joins)
+    "join_semi_anti": (
+        "SELECT 'served' AS side, c_custkey, c_name FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "UNION ALL "
+        "SELECT 'gap' AS side, c_custkey, c_name FROM customer "
         "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
     ),
     # P4/P5: duplicate-group detection
@@ -241,25 +239,6 @@ SHARED_SQL: dict[str, str] = {
         "SELECT CASE WHEN o_orderstatus = 'F' THEN 'done' "
         "WHEN o_orderstatus = 'O' THEN 'processing' ELSE 'partial' END AS status, "
         "count(*) AS n FROM orders GROUP BY 1"
-    ),
-    # exact distinct-count aggregate
-    "agg_count_distinct": (
-        "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
-        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag"
-    ),
-    # grouping-sets family: ROLLUP with subtotal rows
-    "agg_rollup": (
-        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
-        "cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty "
-        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
-    ),
-    # date functions: month truncation + extraction
-    "date_monthly_orders": (
-        "SELECT cast(extract(year FROM o_orderdate) * 100 "
-        "+ extract(month FROM o_orderdate) AS bigint) AS month, "
-        "count(*) AS n_orders, "
-        "cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total "
-        "FROM orders GROUP BY 1"
     ),
     # string-function family
     "string_functions": (
@@ -284,13 +263,17 @@ SHARED_SQL: dict[str, str] = {
         "CASE WHEN l_quantity > 30 THEN l_quantity * 1000 END AS dist, "
         "l_extendedprice / 10.0 AS time FROM lineitem) t"
     ),
-    # scalar-function family: string/date/math/json (§2.7)
-    "scalar_functions": (
+    # scalar-function family (string/math per §2.7) + date extraction, one per-row
+    # pass over orders (the monthly group-by shape is already pinned by the other
+    # groupBy+decimal-sum entries)
+    "scalar_date_functions": (
         "SELECT o_orderkey, "
         "upper(substring(o_orderpriority, 1, 1)) AS pri_initial, "
         "length(o_orderpriority) AS pri_len, "
         "cast(floor(o_totalprice / 1000) AS bigint) AS price_bucket, "
-        "greatest(0, cast(floor(o_totalprice) AS bigint) - 100000) AS over_100k "
+        "greatest(0, cast(floor(o_totalprice) AS bigint) - 100000) AS over_100k, "
+        "cast(extract(year FROM o_orderdate) * 100 "
+        "+ extract(month FROM o_orderdate) AS bigint) AS month "
         "FROM orders"
     ),
 }
@@ -632,18 +615,6 @@ def oracle_validate_locations_full() -> str:
 
 
 
-
-def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composite pretraining quality score + every component ratio — pure
-    rational arithmetic on regex counts, so the full formula hash-matches
-    cross-engine (left-associative grouping mirrored exactly in the SQL)."""
-    from geojson_utility_spark.operators.textops import quality_features
-
-    register_views(spark, sf_dir)
-    return quality_features(spark.table("documents"), "text").select(
-        "doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
-        "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score",
-    )
 
 
 def oracle_quality_scores() -> str:
@@ -992,21 +963,6 @@ def oracle_hash_functions() -> str:
     )
 
 
-def q_token_count_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geojson_utility_spark.operators.textops import token_count_ws
-
-    register_views(spark, sf_dir)
-    return spark.table("documents").select(
-        "doc_id", token_count_ws(F.col("text")).alias("n_tokens")
-    )
-
-
-def oracle_token_count_ws() -> str:
-    return (
-        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        "len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) "
-        "END AS n_tokens FROM documents"
-    )
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,13 +997,6 @@ def oracle_knn_grid() -> str:
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geojson_utility_spark.operators.textops import lang_id
-
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
-
 
 def oracle_lang_id() -> str:
     from geojson_utility_spark.operators.textops import LANG_PROFILES
@@ -1076,14 +1025,6 @@ def oracle_lang_id() -> str:
     )
 
 
-def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geojson_utility_spark.operators.textops import token_count_bpe
-
-    register_views(spark, sf_dir)
-    return spark.table("documents").select(
-        "doc_id", token_count_bpe(F.col("text")).alias("n_bpe")
-    )
-
 
 def oracle_token_count_bpe() -> str:
     return (
@@ -1092,30 +1033,6 @@ def oracle_token_count_bpe() -> str:
     )
 
 
-def q_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring component with integer outputs (hash-stable)."""
-    from geojson_utility_spark.operators.textops import LANG_PROFILES, _stopword_hits, token_count_ws
-
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    return docs.select(
-        "doc_id",
-        _stopword_hits(F.col("text"), LANG_PROFILES["en"]).alias("n_stopwords"),
-        token_count_ws(F.col("text")).alias("n_tokens"),
-    )
-
-
-def oracle_stopword_ratio() -> str:
-    from geojson_utility_spark.operators.textops import LANG_PROFILES
-
-    in_list = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
-    toks = "str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-    return (
-        f"SELECT doc_id, len(list_filter({toks}, x -> x IN ({in_list}))) AS n_stopwords, "
-        "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
-        "len(str_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END AS n_tokens "
-        "FROM documents"
-    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,39 +1322,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
-def q_image_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: decode binary image column in mapInPandas batches,
-    verify dims + PSNR + caption (input_hint per-row invariant)."""
-    from geojson_utility_spark.operators.images import decode_and_verify
 
-    from geojson_utility_spark import fixtures as FX
-    from geojson_utility_spark.schemas import IMAGES_SCHEMA
-
-    images = spark.createDataFrame(FX.make_images(200), schema=IMAGES_SCHEMA)
-    return decode_and_verify(images)
-
-
-def q_audio_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio plumbing: REAL RIFF/WAVE PCM16 codec in mapInPandas batches;
-    per-row invariants = metadata agreement + caption + exact (lossless) round trip.
-    Rows-only: the WAV byte stream is not SQL-decodable; invariants pinned by
-    tests/test_media_ops.py."""
-    from geojson_utility_spark import fixtures as FX
-    from geojson_utility_spark.operators.media import AUDIO_SCHEMA, decode_and_verify_audio
-
-    audio = spark.createDataFrame(FX.make_audio(120), schema=AUDIO_SCHEMA)
-    return decode_and_verify_audio(audio)
-
-
-def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video plumbing: frame sampling as a row-expanding mapInPandas
-    (one row per sampled frame with timestamp/phash/PNG re-encode) — the training-
-    data frame-extraction shape.  Rows-only; counts/content pinned by pytest."""
-    from geojson_utility_spark import fixtures as FX
-    from geojson_utility_spark.operators.media import VIDEO_SCHEMA, frame_sample
-
-    videos = spark.createDataFrame(FX.make_videos(40), schema=VIDEO_SCHEMA)
-    return frame_sample(videos, every_n=5).drop("frame_png")
 
 
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,39 +1346,236 @@ def q_rasterize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_enrich_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's full bulk pipeline on fixture locations (golden semantics)."""
-    from geojson_utility_spark import fixtures as FX
+    """The reference's full bulk pipeline (validate -> gate -> enrich -> union ->
+    order restore) over the SQL-synthesized locations rows.  Every column except
+    the geojson ring content is oracled (errors, pass-throughs, and the
+    geojson-production gate); the ring JSON itself is pinned by the golden-CSV
+    pytest against the reference fixture."""
     from geojson_utility_spark.operators.enrichment import enrich_locations
 
-    df = spark.createDataFrame(FX.make_locations(100).astype(object))
-    return enrich_locations(df).drop("row_idx", "lat", "lon")
+    register_views(spark, sf_dir)
+    locs = spark.sql(LOCS_SYNTH)
+    out = enrich_locations(locs)
+    return out.select(
+        "location_id", "snp_id", "provider_id", "location_gps",
+        "drive_distance", "drive_time", "errors",
+        (F.col("geojson") != "{}").alias("has_geojson"),
+    )
+
+
+# convex CCW square hole inside CONVEX_RING (axis-aligned -> exact cross products)
+HOLE_RING = [(10.0, 15.0), (30.0, 15.0), (30.0, 30.0), (10.0, 30.0), (10.0, 15.0)]
+
+
+def _hole_strict_sql() -> str:
+    """Strict interior of the CCW hole as half-plane conjunctions (all cross > 0).
+    Points exactly ON a hole edge are NOT strict-inside — matching the engine's
+    covers semantics (hole boundaries belong to the polygon)."""
+    conds = []
+    for (x1, y1), (x2, y2) in zip(HOLE_RING[:-1], HOLE_RING[1:]):
+        conds.append(
+            f"((({x2})-({x1}))*(lat-({y1})) - (({y2})-({y1}))*(lon-({x1}))) > 0"
+        )
+    return " AND ".join(conds)
+
+
+def q_spatial_join_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hole-aware even-odd spatial join (opt-in keep_holes=True): convex outer ring
+    with a convex interior ring, so the oracle is outer half-planes AND NOT the
+    hole's STRICT half-planes.  Exercises normalize(keep_holes) -> cover demotion
+    around the hole bbox -> multi-ring Arrow PIP."""
+    import json
+
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+
+    register_views(spark, sf_dir)
+    pts = spark.sql(PTS_CUSTOMER)
+    gj = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [
+                            [[x, y] for x, y in CONVEX_RING],
+                            [[x, y] for x, y in HOLE_RING],
+                        ],
+                    },
+                    "properties": {},
+                }
+            ],
+        }
+    )
+    polys = spark.createDataFrame([("holed_1", gj)], ["polygon_id", "geojson"])
+    out = spatial_join(pts, polys, zoom=9, keep_holes=True)
+    return out.select("point_id", "polygon_id")
+
+
+def oracle_spatial_join_holes() -> str:
+    return (
+        f"SELECT point_id, 'holed_1' AS polygon_id FROM ({PTS_CUSTOMER}) t "
+        f"WHERE {_halfplane_sql()} AND NOT ({_hole_strict_sql()})"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis pass in ONE scan: language id, BPE-ish
+    token count, whitespace token count, stopword/punct/digit ratios, and the
+    composite quality score (merges the former lang_id / token_count_ws /
+    token_count_bpe / stopword_ratio / quality_scores entries — same operators,
+    one driver row)."""
+    from geojson_utility_spark.operators.textops import (
+        lang_id,
+        quality_features,
+        token_count_bpe,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        "text",
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+    return quality_features(docs, "text").select(
+        "doc_id", "lang_pred", "n_bpe", "n_chars_calc", "n_tokens",
+        "mean_token_len", "punct_ratio", "digit_ratio", "stopword_ratio",
+        "quality_score",
+    )
+
+
+def oracle_text_stats() -> str:
+    q = oracle_quality_scores()
+    l = oracle_lang_id()
+    b = oracle_token_count_bpe()
+    return (
+        f"SELECT q.doc_id, l.lang_pred, b.n_bpe, q.n_chars_calc, q.n_tokens, "
+        "q.mean_token_len, q.punct_ratio, q.digit_ratio, q.stopword_ratio, "
+        f"q.quality_score FROM ({q}) q JOIN ({l}) l USING (doc_id) "
+        f"JOIN ({b}) b USING (doc_id)"
+    )
+
+
+def q_media_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three multimodal decode pipelines (image PNG codec, audio RIFF/WAVE
+    PCM16, video frame sampling) tag-unioned into one rows-only entry — byte
+    streams are not SQL-decodable, so per-row invariants are pinned by
+    tests/test_images_ops.py and tests/test_media_ops.py; the driver sees one
+    row per verified item / sampled frame."""
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.images import decode_and_verify
+    from geojson_utility_spark.operators.media import (
+        AUDIO_SCHEMA,
+        VIDEO_SCHEMA,
+        decode_and_verify_audio,
+        frame_sample,
+    )
+    from geojson_utility_spark.schemas import IMAGES_SCHEMA
+
+    img = decode_and_verify(
+        spark.createDataFrame(FX.make_images(200), schema=IMAGES_SCHEMA)
+    ).select(
+        F.lit("image").alias("modality"),
+        F.col("image_id").alias("item_id"),
+        (
+            F.col("decode_ok") & F.col("dims_ok") & F.col("phash_ok")
+            & F.col("caption_ok") & (F.col("psnr_vs_reencode") >= 40.0)
+        ).alias("ok"),
+        F.lit("").alias("detail"),
+    )
+    aud = decode_and_verify_audio(
+        spark.createDataFrame(FX.make_audio(120), schema=AUDIO_SCHEMA)
+    ).select(
+        F.lit("audio").alias("modality"),
+        F.col("audio_id").alias("item_id"),
+        (
+            F.col("decode_ok") & F.col("meta_ok") & F.col("caption_ok")
+            & F.col("roundtrip_exact")
+        ).alias("ok"),
+        F.lit("").alias("detail"),
+    )
+    vid = frame_sample(
+        spark.createDataFrame(FX.make_videos(40), schema=VIDEO_SCHEMA), every_n=5
+    ).select(
+        F.lit("video_frame").alias("modality"),
+        F.col("video_id").alias("item_id"),
+        F.lit(True).alias("ok"),
+        F.concat_ws(
+            ":", F.col("frame_idx").cast("string"), F.col("frame_phash").cast("string")
+        ).alias("detail"),
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def oracle_phash_near_dups() -> str:
+    """Brute-force hamming oracle over the image fixture's phash column — the
+    fixture is deterministic, so the 300 (image_id, phash) pairs are embedded as
+    literals (same technique as the hyperplane-literal LSH oracle)."""
+    from geojson_utility_spark import fixtures as FX
+
+    im = FX.make_images(300)
+    vals = ", ".join(
+        f"('{i}', {int(p)})" for i, p in zip(im["image_id"], im["phash"])
+    )
+    return (
+        f"WITH sigs(image_id, phash) AS (VALUES {vals}) "
+        "SELECT a.image_id AS image_a, b.image_id AS image_b, "
+        "bit_count(xor(a.phash::BIGINT, b.phash::BIGINT)) AS hamming "
+        "FROM sigs a JOIN sigs b ON a.image_id < b.image_id "
+        "WHERE bit_count(xor(a.phash::BIGINT, b.phash::BIGINT)) <= 8"
+    )
+
+
+def oracle_enrich_locations() -> str:
+    """Every SQL-expressible column of the bulk-enrichment pipeline: pass-through
+    input columns, the assembled errors string, and the geojson-gate flag
+    (geojson != '{}' iff the row validated).  The ring CONTENT is pinned separately
+    by the golden-CSV pytest (tests/test_validation.py) — ring trig is
+    transcendental and not cross-engine hashable."""
+    v = oracle_validate_locations_full()
+    return (
+        f"WITH v AS ({v}), locs AS ({LOCS_SYNTH}) "
+        "SELECT l.location_id, l.snp_id, l.provider_id, l.location_gps, "
+        "l.drive_distance, l.drive_time, v.errors, "
+        "(v.errors = '') AS has_geojson "
+        "FROM locs l JOIN v ON v.row_key = l.row_key"
+    )
+
+
+# Registration order IS driver-visible: the driver evaluates the FIRST 50 entries
+# of queries() only (round-2 lesson — 4 oracled entries fell past the window).
+# Contract: the flagship leads, every oracled entry precedes every rows-only entry,
+# and len(queries()) <= 50 so nothing is silently dropped.  tests/test_entry.py
+# pins all three properties.
+_ROWS_ONLY = ("simhash", "ivf_ann_topk", "media_decode_verify", "rasterize_masks")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: _sql_query(sql) for name, sql in SHARED_SQL.items()
+        "flagship_image_join": q_flagship_image_join,
     }
+    out.update({name: _sql_query(sql) for name, sql in SHARED_SQL.items()})
     out.update(
         {
+            # oracled operator-backed entries
             "tile_assignment": q_tile_assignment,
             "cell_heat": q_cell_heat,
             "spatial_join_convex": q_spatial_join_convex,
             "spatial_anti_join": q_spatial_anti_join,
+            "spatial_join_holes": q_spatial_join_holes,
             "knn_grid": q_knn_grid,
-            "lang_id": q_lang_id,
-            "token_count_bpe": q_token_count_bpe,
-            "stopword_ratio": q_stopword_ratio,
+            "text_stats": q_text_stats,
             "dedup_exact": q_dedup_exact,
             "embedding_cosine_topk": q_embedding_cosine_topk,
             "validate_id_fields": q_validate_id_fields,
-            "token_count_ws": q_token_count_ws,
             "dedup_fingerprint_winner": q_dedup_fingerprint,
             "json_extract": q_json_extract,
             "hash_functions": q_hash_functions,
             "heartbeat_events": q_heartbeat_events,
             "session_windows": q_session_windows,
             "simhash_md5": q_simhash_md5,
-            "quality_scores": q_quality_scores,
             "box_tile_cover": q_box_tile_cover,
             "rolling_fingerprint": q_rolling_fingerprint,
             "range_join_within_km": q_range_join_within_km,
@@ -1502,56 +1584,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "hamming_near_dups": q_hamming_near_dups,
-            "flagship_image_join": q_flagship_image_join,
             "minhash_near_dups": q_minhash_near_dups,
-            "simhash": q_simhash,
             "lsh_ann_topk": q_lsh_ann_topk,
-            "ivf_ann_topk": q_ivf_ann_topk,
-            "image_decode_verify": q_image_decode_verify,
-            "audio_decode_verify": q_audio_decode_verify,
-            "video_frame_sample": q_video_frame_sample,
             "phash_near_dups": q_phash_near_dups,
-            "rasterize_masks": q_rasterize_masks,
             "enrich_locations": q_enrich_locations,
+            # rows-only entries LAST (documented reasons in each docstring)
+            "simhash": q_simhash,
+            "ivf_ann_topk": q_ivf_ann_topk,
+            "media_decode_verify": q_media_decode_verify,
+            "rasterize_masks": q_rasterize_masks,
         }
     )
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    out = dict(SHARED_SQL)
+    out = {"flagship_image_join": oracle_flagship_image_join()}
+    out.update(SHARED_SQL)
     out.update(
         {
             "tile_assignment": oracle_tile_assignment(),
             "cell_heat": oracle_cell_heat(),
             "spatial_join_convex": oracle_spatial_join_convex(),
             "spatial_anti_join": oracle_spatial_anti_join(),
+            "spatial_join_holes": oracle_spatial_join_holes(),
             "knn_grid": oracle_knn_grid(),
-            "lang_id": oracle_lang_id(),
-            "token_count_bpe": oracle_token_count_bpe(),
-            "stopword_ratio": oracle_stopword_ratio(),
+            "text_stats": oracle_text_stats(),
             "dedup_exact": oracle_dedup_exact(),
             "embedding_cosine_topk": oracle_embedding_cosine_topk(),
             "validate_id_fields": oracle_validate_id_fields(),
-            "token_count_ws": oracle_token_count_ws(),
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
             "json_extract": oracle_json_extract(),
-            "flagship_image_join": oracle_flagship_image_join(),
             "hash_functions": oracle_hash_functions(),
             "heartbeat_events": oracle_heartbeat_events(),
             "session_windows": oracle_session_windows(),
             "simhash_md5": oracle_simhash_md5(),
-            "quality_scores": oracle_quality_scores(),
             "box_tile_cover": oracle_box_tile_cover(),
             "rolling_fingerprint": oracle_rolling_fingerprint(),
             "range_join_within_km": oracle_range_join_within_km(),
             "as_of_join": oracle_as_of_join(),
             "polygon_intersect_join": oracle_polygon_intersect_join(),
             "validate_locations_full": oracle_validate_locations_full(),
-            "minhash_near_dups": oracle_minhash_near_dups(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "hamming_near_dups": oracle_hamming_near_dups(),
+            "minhash_near_dups": oracle_minhash_near_dups(),
             "lsh_ann_topk": oracle_lsh_ann_topk(),
+            "phash_near_dups": oracle_phash_near_dups(),
+            "enrich_locations": oracle_enrich_locations(),
         }
     )
     return out

@@ -38,6 +38,47 @@ def extract_outer_ring(geojson: str | dict) -> list[list[float]]:
     return coords[0]
 
 
+def extract_rings(geojson: str | dict) -> list[list[list[float]]]:
+    """ALL rings of features[0]: [outer, hole, hole, ...].
+
+    The hole-aware companion of :func:`extract_outer_ring` (which reproduces the
+    reference's coordinates[0]-only projection — the reference DISCARDS holes by
+    design, backend/routers/catchment.py:100).  Same error strings on bad input."""
+    doc = json.loads(geojson) if isinstance(geojson, str) else geojson
+    features = doc.get("features", [])
+    if not features:
+        raise GeometryError("No features found in GeoJSON response")
+    geom = features[0].get("geometry", {}) or {}
+    coords = geom.get("coordinates")
+    if not coords or not isinstance(coords, list):
+        raise GeometryError("Invalid or missing coordinates in geometry")
+    return coords
+
+
+def normalize_polygon_rings(geojson: str) -> tuple[list | None, str]:
+    """Hole-aware normalize: extract ALL rings -> validate each -> fix winding
+    (RFC 7946: CCW outer, CW holes) -> return (rings as nested lists, errors).
+
+    Opt-in extension past the reference's outer-ring-only contract; the parity
+    path stays :func:`normalize_polygon_geojson`."""
+    try:
+        rings = extract_rings(geojson)
+    except (GeometryError, json.JSONDecodeError, AttributeError, TypeError) as e:
+        return None, str(e) or "invalid GeoJSON document"
+    errors = validate_ring(rings[0])
+    if errors:
+        return None, "; ".join(errors)
+    out = [normalize_winding(np.asarray(rings[0], dtype=np.float64), ccw=True).tolist()]
+    for i, hole in enumerate(rings[1:], start=1):
+        herr = validate_ring(hole)
+        if herr:
+            return None, "; ".join(f"hole {i}: {e}" for e in herr)
+        out.append(
+            normalize_winding(np.asarray(hole, dtype=np.float64), ccw=False).tolist()
+        )
+    return out, ""
+
+
 def wrap_polygon_feature_collection(outer_ring) -> dict:
     """Rebuild the reference's normalized output document — exact key order and shape
     of backend/routers/catchment.py:101-113."""

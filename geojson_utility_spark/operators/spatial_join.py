@@ -55,6 +55,7 @@ POLYGON_NORM_SCHEMA = T.StructType(
     [
         T.StructField("polygon_id", T.StringType()),
         T.StructField("ring_json", T.StringType()),  # normalized outer ring [[lon,lat]..]
+        T.StructField("holes_json", T.StringType()),  # "[]" unless keep_holes=True
         T.StructField("poly_errors", T.StringType()),
         T.StructField("n_vertices", T.IntegerType()),
         T.StructField("area", T.DoubleType()),
@@ -71,20 +72,42 @@ COVER_SCHEMA = T.StructType(
 )
 
 
-def normalize_polygons(polygons: DataFrame) -> DataFrame:
+def normalize_polygons(polygons: DataFrame, keep_holes: bool = False) -> DataFrame:
     """geojson string column -> validated, winding-normalized outer rings.
 
     Invalid polygons are retained with ``poly_errors`` set (filter-that-annotates, same
     contract as row validation) — callers filter ``poly_errors == ''`` for the join.
+
+    keep_holes=False (default) reproduces the reference's contract — interior rings
+    are DISCARDED (reference: backend/routers/catchment.py:100 takes coordinates[0]
+    only) and ``holes_json`` is "[]".  keep_holes=True validates and carries interior
+    rings (RFC 7946 winding: CCW outer, CW holes) for the hole-aware even-odd PIP.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for pid, gj in zip(pdf["polygon_id"], pdf["geojson"]):
+                if keep_holes:
+                    rings, err = G.normalize_polygon_rings(gj)
+                    if err:
+                        rows.append((pid, None, None, err, None, None))
+                        continue
+                    arr = np.asarray(rings[0], dtype=np.float64)
+                    rows.append(
+                        (
+                            pid,
+                            json.dumps(rings[0]),
+                            json.dumps(rings[1:]),
+                            "",
+                            int(arr.shape[0]),
+                            abs(G.signed_area(arr)),
+                        )
+                    )
+                    continue
                 norm, err = G.normalize_polygon_geojson(gj)
                 if err:
-                    rows.append((pid, None, err, None, None))
+                    rows.append((pid, None, None, err, None, None))
                 else:
                     ring = G.extract_outer_ring(norm)
                     arr = np.asarray(ring, dtype=np.float64)
@@ -92,13 +115,18 @@ def normalize_polygons(polygons: DataFrame) -> DataFrame:
                         (
                             pid,
                             json.dumps(ring),
+                            "[]",
                             "",
                             int(arr.shape[0]),
                             abs(G.signed_area(arr)),
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["polygon_id", "ring_json", "poly_errors", "n_vertices", "area"]
+                rows,
+                columns=[
+                    "polygon_id", "ring_json", "holes_json",
+                    "poly_errors", "n_vertices", "area",
+                ],
             )
 
     spark = polygons.sparkSession
@@ -129,7 +157,12 @@ def polygon_cover(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_pid, out_cell, out_zoom, out_int = [], [], [], []
-            for pid, rj in zip(pdf["polygon_id"], pdf["ring_json"]):
+            holes_col = (
+                pdf["holes_json"]
+                if "holes_json" in pdf.columns
+                else pd.Series([None] * len(pdf))
+            )
+            for pid, rj, hj in zip(pdf["polygon_id"], pdf["ring_json"], holes_col):
                 if rj is None:
                     continue
                 ring = np.asarray(json.loads(rj), dtype=np.float64)
@@ -157,6 +190,21 @@ def polygon_cover(
                             [interior[~coarse]]
                             + [np.full(len(p[0]), p[1], dtype=bool) for p in parts]
                         )
+                # hole-aware demotion: an "interior" classification only consults
+                # the OUTER ring — any cell whose bbox touches a hole's bbox must
+                # fall back to the boundary (refine) path, where the even-odd PIP
+                # handles the hole exactly.  Conservative (bbox-vs-bbox) and cheap;
+                # cells fully inside a hole simply refine to zero matches.
+                holes = json.loads(hj) if hj else []
+                if holes and interior.any():
+                    w_, s_, e_, n_ = C.cell_bounds(cover)
+                    demote = np.zeros(len(cover), dtype=bool)
+                    for hole in holes:
+                        h = np.asarray(hole, dtype=np.float64)
+                        hw, hs = h[:, 0].min(), h[:, 1].min()
+                        he, hn = h[:, 0].max(), h[:, 1].max()
+                        demote |= (w_ <= he) & (e_ >= hw) & (s_ <= hn) & (n_ >= hs)
+                    interior = interior & ~demote
                 zs = C.unpack_cell(cover)[0]
                 out_pid.extend([pid] * len(cover))
                 out_cell.extend(cover.tolist())
@@ -185,9 +233,14 @@ def _refine_cogroup(cand: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
     exactly one replicated ring row."""
     if cand.empty or rings.empty:
         return pd.DataFrame({"point_id": [], "lat": [], "lon": [], "poly_idx": []})
-    ring = np.asarray(json.loads(rings["ring_json"].iloc[0]), dtype=np.float64)
+    poly = [np.asarray(json.loads(rings["ring_json"].iloc[0]), dtype=np.float64)]
+    if "holes_json" in rings.columns:
+        poly += [
+            np.asarray(h, dtype=np.float64)
+            for h in json.loads(rings["holes_json"].iloc[0] or "[]")
+        ]
     inside = P.points_in_polygon(
-        cand["lon"].to_numpy(np.float64), cand["lat"].to_numpy(np.float64), [ring]
+        cand["lon"].to_numpy(np.float64), cand["lat"].to_numpy(np.float64), poly
     )
     return cand.loc[inside, ["point_id", "lat", "lon", "poly_idx"]]
 
@@ -203,8 +256,17 @@ def spatial_join(
     refine: str = "broadcast",
     min_zoom: int | None = None,
     single_scan: bool = False,
+    keep_holes: bool = False,
 ) -> DataFrame:
     """points(point_id, lat, lon) ⋈ polygons(polygon_id, geojson) on containment.
+
+    keep_holes=False (default) keeps the reference's outer-ring-only contract.
+    keep_holes=True joins on the full even-odd polygon (interior rings excluded,
+    hole BOUNDARIES still included — covers semantics): cover cells touching a
+    hole's bbox are demoted to the refine path and the kernel ray-casts against
+    every ring.  Supported by refine='broadcast' (incl. single_scan) and
+    refine='cogroup'; refine='expr' raises (the Catalyst expression encodes one
+    ring).
 
     how: 'inner' -> (point_id, lat, lon, polygon_id) matches;
          'left_semi' -> served points; 'left_anti' -> serviceability-gap points.
@@ -237,8 +299,10 @@ def spatial_join(
         F.col("lat").cast("double").alias("lat"),
         F.col("lon").cast("double").alias("lon"),
     )
+    if keep_holes and refine == "expr":
+        raise ValueError("keep_holes=True is not supported with refine='expr'")
     # polygon side is small: cache so normalize+cover run once, not once per zoom probe
-    norm = normalize_polygons(polygons).cache()
+    norm = normalize_polygons(polygons, keep_holes=keep_holes).cache()
     cover = polygon_cover(norm, zoom=zoom, compact=compact, min_zoom=min_zoom).cache()
 
     if compact:
@@ -378,15 +442,20 @@ def spatial_join(
         # conversion materializes billions of Python string objects (id columns) and
         # becomes the memory-bandwidth ceiling of the whole join; in Arrow the ids
         # stay in columnar buffers and only lat/lon are viewed as numpy.
+        # each entry: [outer] or [outer, hole, ...] — single-ring polygons take the
+        # cached-RingKernel fast path; holed polygons run the even-odd PIP
         rings_list = [None] * len(pid_rows)
         for r in (
             norm.filter(F.col("poly_errors") == "")
-            .select("polygon_id", "ring_json")
+            .select("polygon_id", "ring_json", "holes_json")
             .collect()
         ):
-            rings_list[idx_of[r["polygon_id"]]] = np.asarray(
-                json.loads(r["ring_json"]), dtype=np.float64
-            )
+            rings_list[idx_of[r["polygon_id"]]] = [
+                np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
+            ] + [
+                np.asarray(h, dtype=np.float64)
+                for h in json.loads(r["holes_json"] or "[]")
+            ]
         bc_rings = spark.sparkContext.broadcast(rings_list)
 
         def refine_arrow(it):
@@ -416,15 +485,18 @@ def spatial_join(
                 uniq, starts = np.unique(sorted_codes, return_index=True)
                 ends = np.append(starts[1:], n)
                 for k, gi in enumerate(uniq.tolist()):
-                    ring = rings[gi]
-                    if ring is None:
+                    poly = rings[gi]
+                    if poly is None:
                         continue
-                    kern = kernels.get(gi)
-                    if kern is None:
-                        kern = kernels[gi] = P.RingKernel(ring)
                     idx = order[starts[k] : ends[k]]
-                    ins, edg = kern.test_block(lon[idx], lat[idx])
-                    keep[idx] = ins | edg
+                    if len(poly) == 1:
+                        kern = kernels.get(gi)
+                        if kern is None:
+                            kern = kernels[gi] = P.RingKernel(poly[0])
+                        ins, edg = kern.test_block(lon[idx], lat[idx])
+                        keep[idx] = ins | edg
+                    else:  # holed polygon: even-odd over all rings
+                        keep[idx] = P.points_in_polygon(lon[idx], lat[idx], poly)
                 yield batch.filter(pa.array(keep))
 
         if single_scan:
@@ -475,15 +547,20 @@ def spatial_join(
                         uniq, starts = np.unique(sorted_codes, return_index=True)
                         ends = np.append(starts[1:], len(bidx))
                         for kk, gi in enumerate(uniq.tolist()):
-                            ring = rings[gi]
-                            if ring is None:
+                            poly = rings[gi]
+                            if poly is None:
                                 continue
-                            kern = kernels.get(gi)
-                            if kern is None:
-                                kern = kernels[gi] = P.RingKernel(ring)
                             idx = order[starts[kk] : ends[kk]]
-                            ins, edg = kern.test_block(lon[idx], lat[idx])
-                            keep[bidx[idx]] = ins | edg
+                            if len(poly) == 1:
+                                kern = kernels.get(gi)
+                                if kern is None:
+                                    kern = kernels[gi] = P.RingKernel(poly[0])
+                                ins, edg = kern.test_block(lon[idx], lat[idx])
+                                keep[bidx[idx]] = ins | edg
+                            else:
+                                keep[bidx[idx]] = P.points_in_polygon(
+                                    lon[idx], lat[idx], poly
+                                )
                     filtered = batch.filter(pa.array(keep))
                     yield pa.RecordBatch.from_arrays(
                         [filtered.column(c) for c in out_cols], out_cols
@@ -517,7 +594,11 @@ def spatial_join(
         rings_salted = (
             norm.filter(F.col("poly_errors") == "")
             .join(F.broadcast(pid_map), "polygon_id")
-            .select(F.col("poly_idx").cast("int").alias("poly_idx"), "ring_json")
+            .select(
+                F.col("poly_idx").cast("int").alias("poly_idx"),
+                "ring_json",
+                "holes_json",
+            )
             .crossJoin(
                 spark.range(n_salt).select(F.col("id").cast("long").alias("_salt"))
             )

@@ -62,3 +62,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_contract():
+    """The driver evaluates only the FIRST 50 queries() entries (round-2 lesson:
+    4 oracled entries fell past the window).  Pin: flagship leads, every oracled
+    entry precedes every rows-only entry, and nothing falls outside the window."""
+    names = list(ALL_QUERIES)
+    assert names[0] == "flagship_image_join"
+    assert len(names) <= 50, f"{len(names)} entries exceed the driver's window"
+    assert set(ORACLES) <= set(names[:50])
+    rows_only = [n for n in names if n not in ORACLES]
+    first_rows_only = min(names.index(n) for n in rows_only)
+    last_oracled = max(names.index(n) for n in ORACLES)
+    assert last_oracled < first_rows_only, "rows-only entries must register last"

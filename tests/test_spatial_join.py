@@ -209,3 +209,103 @@ def test_polygon_intersect_join_bigint_ids(spark):
     assert dict(out.dtypes) == {"a_id": "bigint", "b_id": "bigint"}
     rows = out.collect()
     assert all(isinstance(r["a_id"], int) for r in rows) and len(rows) >= 10
+
+
+def _holed_fc(outer, holes):
+    import json as _j
+    return _j.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [outer] + holes},
+            "properties": {},
+        }],
+    })
+
+
+def test_spatial_join_keep_holes_matches_bruteforce(spark):
+    """Opt-in hole-aware join == even-odd points_in_polygon oracle on a holed,
+    non-convex fixture; default mode keeps the reference's outer-ring contract."""
+    import numpy as np
+    import pandas as pd
+
+    from geojson_utility_spark.functions import pip as P
+    from geojson_utility_spark.operators.spatial_join import spatial_join
+
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [5.0, 7.0], [0.0, 10.0], [0.0, 0.0]]
+    hole1 = [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0], [2.0, 2.0]]
+    hole2 = [[6.0, 5.0], [8.0, 5.0], [7.0, 8.0], [6.0, 5.0]]
+    gj = _holed_fc(outer, [hole1, hole2])
+    polys = spark.createDataFrame([("holed", gj)], ["polygon_id", "geojson"])
+
+    rng = np.random.default_rng(3)
+    pts = pd.DataFrame({
+        "point_id": range(640),
+        "lon": np.concatenate([rng.uniform(-1, 11, 600),
+                               [3.0, 2.0, 3.0, 0.0, 7.0, 6.5, 20.0, 10.0],
+                               rng.uniform(2, 4, 16), rng.uniform(6, 8, 16)]),
+        "lat": np.concatenate([rng.uniform(-1, 11, 600),
+                               [3.0, 3.0, 2.0, 5.0, 6.0, 5.0, 20.0, 10.0],
+                               rng.uniform(2, 4, 16), rng.uniform(5, 8, 16)]),
+    })
+    pts_df = spark.createDataFrame(pts)
+    rings = [np.asarray(outer), np.asarray(hole1), np.asarray(hole2)]
+    want_mask = P.points_in_polygon(
+        pts["lon"].to_numpy(), pts["lat"].to_numpy(), rings
+    )
+    want = set(pts.loc[want_mask, "point_id"])
+    for kwargs in ({}, {"refine": "cogroup"}, {"single_scan": True}):
+        got = {
+            r["point_id"]
+            for r in spatial_join(pts_df, polys, zoom=14, keep_holes=True,
+                                  **kwargs).collect()
+        }
+        assert got == want, f"{kwargs}: {len(got)} vs {len(want)}"
+    # planted semantics: strictly inside hole -> out; ON hole edge -> in (covers)
+    assert 600 not in want        # (3,3) strictly inside hole1
+    assert 601 in want            # (2,3) on hole1 edge
+    assert 603 in want            # (0,5) on outer edge
+    # default (parity) mode keeps hole points: reference discards holes
+    got_parity = {
+        r["point_id"] for r in spatial_join(pts_df, polys, zoom=14).collect()
+    }
+    outer_only = P.points_in_polygon(
+        pts["lon"].to_numpy(), pts["lat"].to_numpy(), [np.asarray(outer)]
+    )
+    assert got_parity == set(pts.loc[outer_only, "point_id"])
+    assert 600 in got_parity
+    # expr refine cannot encode holes
+    import pytest as _pt
+    with _pt.raises(ValueError, match="expr"):
+        spatial_join(pts_df, polys, keep_holes=True, refine="expr")
+
+
+def test_normalize_polygons_keep_holes_validation(spark):
+    """Hole rings are validated; bad holes annotate poly_errors with the hole index."""
+    from geojson_utility_spark.operators.spatial_join import normalize_polygons
+
+    good = _holed_fc(
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+        [[[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]],
+    )
+    bad = _holed_fc(
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+        [[[1.0, 1.0], [1.0, 1.0], [1.0, 1.0], [1.0, 1.0]]],  # degenerate hole
+    )
+    out = {
+        r["polygon_id"]: r
+        for r in normalize_polygons(
+            spark.createDataFrame([("g", good), ("b", bad)], ["polygon_id", "geojson"]),
+            keep_holes=True,
+        ).collect()
+    }
+    assert out["g"]["poly_errors"] == ""
+    import json as _j
+    holes = _j.loads(out["g"]["holes_json"])
+    assert len(holes) == 1 and len(holes[0]) == 5
+    assert "hole 1" in out["b"]["poly_errors"]
+    # default mode: holes silently dropped (reference parity), "[]" carried
+    out_flat = normalize_polygons(
+        spark.createDataFrame([("g", good)], ["polygon_id", "geojson"])
+    ).collect()[0]
+    assert out_flat["poly_errors"] == "" and out_flat["holes_json"] == "[]"
