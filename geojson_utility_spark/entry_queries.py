@@ -322,8 +322,10 @@ def oracle_cell_heat() -> str:
 
 
 def q_spatial_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship join against a convex polygon the oracle can express as
-    half-plane conjunctions — exercises covering + broadcast + Arrow PIP refine."""
+    """Inner join + serviceability-gap anti join against a convex polygon the
+    oracle can express as half-plane conjunctions, tag-unioned ('in'/'out') —
+    exercises covering + broadcast + Arrow PIP refine AND the left_anti plan in
+    one driver row."""
     import json
 
     from geojson_utility_spark.functions import geometry as G
@@ -336,37 +338,81 @@ def q_spatial_join_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("convex_1", json.dumps(G.wrap_polygon_feature_collection(ring)))],
         ["polygon_id", "geojson"],
     )
-    out = spatial_join(pts, polys, zoom=9, salt=4)
-    return out.select("point_id", "polygon_id")
+    inner = (
+        spatial_join(pts, polys, zoom=9, salt=4)
+        .select("point_id")
+        .withColumn("side", F.lit("in"))
+    )
+    anti = (
+        spatial_join(pts, polys, zoom=9, how="left_anti")
+        .select("point_id")
+        .withColumn("side", F.lit("out"))
+    )
+    return inner.unionByName(anti)
 
 
 def oracle_spatial_join_convex() -> str:
     return (
-        f"SELECT point_id, 'convex_1' AS polygon_id FROM ({PTS_CUSTOMER}) t "
-        f"WHERE {_halfplane_sql()}"
+        f"SELECT point_id, 'in' AS side FROM ({PTS_CUSTOMER}) t "
+        f"WHERE {_halfplane_sql()} "
+        "UNION ALL "
+        f"SELECT point_id, 'out' AS side FROM ({PTS_CUSTOMER}) t "
+        f"WHERE NOT ({_halfplane_sql()})"
     )
 
 
-def q_spatial_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serviceability-gap report: points matching NO polygon (left_anti)."""
+# second convex CCW part for the MultiPolygon probe — disjoint from CONVEX_RING
+MULTI_RING_2 = [
+    (60.0, -40.0), (90.0, -35.0), (95.0, -5.0), (55.0, -10.0), (60.0, -40.0)
+]
+
+
+def _halfplane_sql_for(ring) -> str:
+    conds = []
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        conds.append(
+            f"((({x2})-({x1}))*(lat-({y1})) - (({y2})-({y1}))*(lon-({x1}))) >= 0"
+        )
+    return " AND ".join(conds)
+
+
+def q_spatial_join_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiPolygon union semantics: one feature with two disjoint convex parts —
+    a point matches iff it is inside EITHER part, one row per (point, feature).
+    Oracle = OR of the two parts' half-plane conjunctions."""
     import json
 
-    from geojson_utility_spark.functions import geometry as G
-    from geojson_utility_spark.operators.spatial_join import spatial_join
+    from geojson_utility_spark.operators.spatial_join import spatial_join_multi
 
     register_views(spark, sf_dir)
     pts = spark.sql(PTS_CUSTOMER)
-    ring = [[x, y] for x, y in CONVEX_RING]
-    polys = spark.createDataFrame(
-        [("convex_1", json.dumps(G.wrap_polygon_feature_collection(ring)))],
-        ["polygon_id", "geojson"],
+    gj = json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [
+                            [[[x, y] for x, y in CONVEX_RING]],
+                            [[[x, y] for x, y in MULTI_RING_2]],
+                        ],
+                    },
+                    "properties": {},
+                }
+            ],
+        }
     )
-    return spatial_join(pts, polys, zoom=9, how="left_anti").select("point_id")
+    polys = spark.createDataFrame([("mp_1", gj)], ["polygon_id", "geojson"])
+    return spatial_join_multi(pts, polys, zoom=9).select("point_id", "polygon_id")
 
 
-def oracle_spatial_anti_join() -> str:
+def oracle_spatial_join_multipolygon() -> str:
     return (
-        f"SELECT point_id FROM ({PTS_CUSTOMER}) t WHERE NOT ({_halfplane_sql()})"
+        f"SELECT point_id, 'mp_1' AS polygon_id FROM ({PTS_CUSTOMER}) t "
+        f"WHERE ({_halfplane_sql_for(CONVEX_RING)}) "
+        f"OR ({_halfplane_sql_for(MULTI_RING_2)})"
     )
 
 
@@ -1563,8 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tile_assignment": q_tile_assignment,
             "cell_heat": q_cell_heat,
             "spatial_join_convex": q_spatial_join_convex,
-            "spatial_anti_join": q_spatial_anti_join,
             "spatial_join_holes": q_spatial_join_holes,
+            "spatial_join_multipolygon": q_spatial_join_multipolygon,
             "knn_grid": q_knn_grid,
             "text_stats": q_text_stats,
             "dedup_exact": q_dedup_exact,
@@ -1606,8 +1652,8 @@ def oracle_sql() -> dict[str, str]:
             "tile_assignment": oracle_tile_assignment(),
             "cell_heat": oracle_cell_heat(),
             "spatial_join_convex": oracle_spatial_join_convex(),
-            "spatial_anti_join": oracle_spatial_anti_join(),
             "spatial_join_holes": oracle_spatial_join_holes(),
+            "spatial_join_multipolygon": oracle_spatial_join_multipolygon(),
             "knn_grid": oracle_knn_grid(),
             "text_stats": oracle_text_stats(),
             "dedup_exact": oracle_dedup_exact(),

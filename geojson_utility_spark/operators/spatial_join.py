@@ -628,6 +628,105 @@ def spatial_join(
     raise ValueError(f"unsupported how={how!r}")
 
 
+def explode_multipolygon_parts(polygons: DataFrame) -> DataFrame:
+    """(polygon_id, geojson) -> one row per polygon PART: (polygon_id, part_idx,
+    geojson) where each part is rewrapped as a single-Polygon FeatureCollection
+    (holes preserved).
+
+    GeoJSON 'Polygon' geometries pass through as part 0; 'MultiPolygon' geometries
+    emit one part per member polygon.  Documents that fail to parse pass through
+    unchanged (part_idx 0) so the downstream normalize annotates them with the
+    reference's exact error strings instead of dropping rows here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pids, idxs, docs = [], [], []
+            for pid, gj in zip(pdf["polygon_id"], pdf["geojson"]):
+                parts = None
+                try:
+                    doc = json.loads(gj)
+                    geom = doc["features"][0].get("geometry") or {}
+                    if geom.get("type") == "MultiPolygon":
+                        parts = geom["coordinates"]
+                    else:
+                        parts = [geom["coordinates"]]
+                except Exception:
+                    parts = None
+                if not parts:
+                    pids.append(pid); idxs.append(0); docs.append(gj)
+                    continue
+                for i, coords in enumerate(parts):
+                    pids.append(pid)
+                    idxs.append(i)
+                    docs.append(json.dumps({
+                        "type": "FeatureCollection",
+                        "features": [{
+                            "type": "Feature",
+                            "geometry": {"type": "Polygon", "coordinates": coords},
+                            "properties": {},
+                        }],
+                    }))
+            yield pd.DataFrame(
+                {"polygon_id": pids, "part_idx": idxs, "geojson": docs}
+            )
+
+    return polygons.select("polygon_id", "geojson").mapInPandas(
+        batches, "polygon_id string, part_idx int, geojson string"
+    )
+
+
+def spatial_join_multi(
+    points: DataFrame,
+    polygons: DataFrame,
+    how: str = "inner",
+    **kwargs,
+) -> DataFrame:
+    """MultiPolygon-aware spatial join: a point matches a feature when it is inside
+    ANY member polygon (union semantics, per the GeoJSON spec — parts are disjoint).
+
+    Physical shape: parts exploded to independent rows (the polygon side stays the
+    small side — parts multiply it by the part count, not the point count), joined
+    with the regular two-phase engine under synthetic part ids, then matches are
+    mapped back to feature ids through a broadcast of the tiny (part_id ->
+    polygon_id) table and deduped per (point, feature).  Composes with
+    ``keep_holes=True`` — every part carries its own interior rings."""
+    parts = explode_multipolygon_parts(polygons).cache()
+    tagged = parts.select(
+        F.concat_ws("#", "polygon_id", F.col("part_idx").cast("string")).alias(
+            "polygon_id"
+        ),
+        "geojson",
+    )
+    part_map = parts.select(
+        F.concat_ws("#", "polygon_id", F.col("part_idx").cast("string")).alias(
+            "_part_id"
+        ),
+        F.col("polygon_id").alias("_feature_id"),
+    )
+    m = spatial_join(points, tagged, how="inner", **kwargs)
+    matches = (
+        m.withColumnRenamed("polygon_id", "_part_id")
+        .join(F.broadcast(part_map), "_part_id")
+        .select(
+            "point_id", "lat", "lon", F.col("_feature_id").alias("polygon_id")
+        )
+        .dropDuplicates(["point_id", "polygon_id"])
+    )
+    if how == "inner":
+        return matches
+    point_id = kwargs.get("point_id", "point_id")
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").cast("double").alias("lat"),
+        F.col("lon").cast("double").alias("lon"),
+    )
+    if how == "left_semi":
+        return pts.join(matches.select("point_id").distinct(), "point_id", "left_semi")
+    if how == "left_anti":
+        return pts.join(matches.select("point_id").distinct(), "point_id", "left_anti")
+    raise ValueError(f"unsupported how={how!r}")
+
+
 def polygon_intersect_join(
     polys_a: DataFrame,
     polys_b: DataFrame,

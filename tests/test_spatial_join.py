@@ -309,3 +309,65 @@ def test_normalize_polygons_keep_holes_validation(spark):
         spark.createDataFrame([("g", good)], ["polygon_id", "geojson"])
     ).collect()[0]
     assert out_flat["poly_errors"] == "" and out_flat["holes_json"] == "[]"
+
+
+def test_spatial_join_multipolygon_union_semantics(spark):
+    """MultiPolygon join == union of per-part even-odd PIP; one row per
+    (point, feature) even when parts are adjacent; holes compose."""
+    import json as _j
+
+    import numpy as np
+    import pandas as pd
+
+    from geojson_utility_spark.functions import pip as P
+    from geojson_utility_spark.operators.spatial_join import spatial_join_multi
+
+    part_a = [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+              [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]]]  # + hole
+    part_b = [[[6.0, 6.0], [9.0, 6.0], [9.0, 9.0], [6.0, 9.0], [6.0, 6.0]]]
+    mp = _j.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "MultiPolygon", "coordinates": [part_a, part_b]},
+            "properties": {},
+        }],
+    })
+    # a plain Polygon feature must pass through untouched alongside
+    single = _j.dumps({
+        "type": "FeatureCollection",
+        "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[3.0, 3.0], [7.0, 3.0], [7.0, 7.0],
+                                          [3.0, 7.0], [3.0, 3.0]]]},
+            "properties": {},
+        }],
+    })
+    polys = spark.createDataFrame(
+        [("multi", mp), ("single", single)], ["polygon_id", "geojson"]
+    )
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({
+        "point_id": range(500),
+        "lon": rng.uniform(-1, 10, 500),
+        "lat": rng.uniform(-1, 10, 500),
+    })
+    pts_df = spark.createDataFrame(pts)
+    lon, lat = pts["lon"].to_numpy(), pts["lat"].to_numpy()
+    in_multi = P.points_in_polygon(lon, lat, [np.asarray(r) for r in part_a]) | \
+        P.points_in_polygon(lon, lat, [np.asarray(part_b[0])])
+    in_single = P.points_in_polygon(lon, lat, [np.asarray([[3.0, 3.0], [7.0, 3.0],
+                                                           [7.0, 7.0], [3.0, 7.0],
+                                                           [3.0, 3.0]])])
+    want = {(int(i), "multi") for i in pts.loc[in_multi, "point_id"]} | \
+           {(int(i), "single") for i in pts.loc[in_single, "point_id"]}
+    got_rows = spatial_join_multi(pts_df, polys, zoom=14, keep_holes=True).collect()
+    got = {(r["point_id"], r["polygon_id"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got)  # deduped: one row per (point, feature)
+    # anti join: points in NO feature
+    anti = {r["point_id"]
+            for r in spatial_join_multi(pts_df, polys, how="left_anti",
+                                        zoom=14, keep_holes=True).collect()}
+    assert anti == set(pts["point_id"]) - {p for p, _ in want}
