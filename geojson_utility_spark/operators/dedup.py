@@ -132,6 +132,11 @@ def minhash_candidate_pairs(
       band), so the ones the cap can drop are concentrated at the low-similarity edge
       the verify stage would mostly reject anyway.  Pass ``bucket_cap=None`` for the
       uncapped exact-LSH candidate set.
+
+    The over-cap bucket list is broadcast (map-side anti/semi split, no shuffle of
+    the banded rows); its size is bounded by N * n_bands / bucket_cap rows — raise
+    ``bucket_cap`` proportionally on corpora past ~10^11 docs to keep it in the
+    hundreds of MB.
     """
     n_hashes_col = F.size(F.col("sig"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
@@ -152,11 +157,24 @@ def minhash_candidate_pairs(
         small = banded
         cand_hot = None
     else:
-        # bucket sizes via a window on the join key itself (exchange reuse)
-        wsize = Window.partitionBy("band", "bucket")
-        marked = banded.withColumn("_n", F.count("*").over(wsize))
-        small = marked.filter(F.col("_n") <= bucket_cap).drop("_n")
-        hot = marked.filter(F.col("_n") > bucket_cap).drop("_n")
+        # over-cap bucket list via groupBy (map-side partial agg collapses to one
+        # row per DISTINCT bucket before the shuffle — a window over the banded
+        # rows would shuffle+sort every row instead) -> tiny, broadcast to split
+        # the stream with map-side anti/semi joins.  banded is lazily checkpointed:
+        # three consumers (bucket agg + both branches) would otherwise re-evaluate
+        # the band-hash transform — MEASURED at sf0.1: recompute 4.4 s vs
+        # checkpoint 2.8 s for the full near-dup pipeline.
+        banded = banded.localCheckpoint(eager=False)
+        hot_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("band", "bucket")
+        )
+        small = banded.join(
+            F.broadcast(hot_buckets), ["band", "bucket"], "left_anti"
+        )
+        hot = banded.join(F.broadcast(hot_buckets), ["band", "bucket"], "left_semi")
         hx, hy = hot.alias("x"), hot.alias("y")
         hot_keys = hx.join(
             hy,
