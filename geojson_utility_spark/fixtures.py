@@ -65,7 +65,7 @@ def image_point(image_ids: np.ndarray | list[str]) -> pd.DataFrame:
     return pd.DataFrame({"image_id": ids, "lat": lat, "lon": lon})
 
 
-def image_point_df(spark, n: int):
+def image_point_df(spark, n: int, num_partitions: int | None = None):
     """Spark-native deterministic point cloud with the same hotspot-mixture *shape* as
     :func:`image_point` (xxhash64 family instead of FNV — identical distribution
     geometry, not row-identical) — generates billions of rows with zero driver work.
@@ -75,7 +75,10 @@ def image_point_df(spark, n: int):
     """
     from pyspark.sql import functions as F
 
-    df = spark.range(n).select(
+    # explicit partitioning lets billion-row generation write straight from
+    # codegen — a downstream repartition() would spill the whole table to shuffle
+    df = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    df = df.select(
         F.concat(F.lit("img_"), F.lpad(F.col("id").cast("string"), 12, "0")).alias(
             "point_id"
         ),

@@ -483,7 +483,8 @@ def hamming_pairs(
       collisions in the pair join drop by another chunk-width factor, bounding the
       blowup a degenerate corpus can cause.
 
-    One shuffle on the bucket key (the window count reuses the join partitioning);
+    One shuffle on the bucket key; bucket sizes come from a map-side-combined
+    groupBy whose over-cap list is broadcast (no window over the chunk rows), and
     the pair-key path only activates on data that would otherwise be quadratic.
     Raises if the requested ``n_chunks`` cannot honor the guarantee.
     """
@@ -513,9 +514,19 @@ def hamming_pairs(
         ).alias("_ci", "_cv"),
     )
     # bucket sizes via a window on the same key the join shuffles on (exchange reuse)
-    wsize = Window.partitionBy("_ci", "_cv")
-    marked = chunks.withColumn("_n", F.count("*").over(wsize))
-    small = marked.filter(F.col("_n") <= bucket_cap).drop("_n")
+    # over-cap bucket list via groupBy + broadcast split (map-side partial agg
+    # collapses to one row per distinct bucket; a window here would shuffle+sort
+    # every chunk row — same measured win as minhash_candidate_pairs).  chunks is
+    # lazily checkpointed for its three consumers (bucket agg + both branches).
+    chunks = chunks.localCheckpoint(eager=False)
+    hot_buckets = (
+        chunks.groupBy("_ci", "_cv")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .select("_ci", "_cv")
+    )
+    small = chunks.join(F.broadcast(hot_buckets), ["_ci", "_cv"], "left_anti")
+    hot = chunks.join(F.broadcast(hot_buckets), ["_ci", "_cv"], "left_semi")
     a, b = small.alias("a"), small.alias("b")
     cand_small = a.join(
         b,
@@ -528,7 +539,6 @@ def hamming_pairs(
         F.col("a._h").alias("_ha"),
         F.col("b._h").alias("_hb"),
     )
-    hot = marked.filter(F.col("_n") > bucket_cap).drop("_n")
     # chunk-PAIR keys for hot rows: (ci, cj, vi, vj), ci < cj
     hx, hy = hot.alias("x"), hot.alias("y")
     hot_keys = hx.join(

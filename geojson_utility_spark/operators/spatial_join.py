@@ -245,9 +245,111 @@ def _refine_cogroup(cand: pd.DataFrame, rings: pd.DataFrame) -> pd.DataFrame:
     return cand.loc[inside, ["point_id", "lat", "lon", "poly_idx"]]
 
 
+class PreparedPolygons:
+    """A reusable polygon-side index: normalized rings + multi-zoom cover +
+    dense-id broadcast frames, built ONCE and shared across many spatial_join
+    calls.
+
+    The production pattern is a FIXED polygon set (serviceability areas) joined
+    against many point batches/streams; rebuilding the index per call costs
+    O(polygons) normalize + adaptive-cover + broadcast work (~6 s for 120
+    polygons at z19 on the sandbox) that this object amortizes to zero.
+    Construct with :func:`prepare_polygons`; pass as ``spatial_join(...,
+    prepared=...)`` (geometry parameters travel with the object)."""
+
+    def __init__(self, spark, zoom, compact, min_zoom, keep_holes,
+                 norm, cover, zooms, pid_rows, pid_map, cover_idx):
+        self.spark = spark
+        self.zoom = zoom
+        self.compact = compact
+        self.min_zoom = min_zoom
+        self.keep_holes = keep_holes
+        self.norm = norm
+        self.cover = cover
+        self.zooms = zooms
+        self.pid_rows = pid_rows
+        self.idx_of = {pid: i for i, pid in enumerate(pid_rows)}
+        self.pid_map = pid_map
+        self.cover_idx = cover_idx
+        self._bc_rings = None
+
+    def rings_broadcast(self):
+        """sc.broadcast of per-poly_idx ring lists ([outer] or [outer, *holes]),
+        built lazily (only the broadcast refine path needs it) and cached."""
+        if self._bc_rings is None:
+            rings_list = [None] * len(self.pid_rows)
+            for r in (
+                self.norm.filter(F.col("poly_errors") == "")
+                .select("polygon_id", "ring_json", "holes_json")
+                .collect()
+            ):
+                rings_list[self.idx_of[r["polygon_id"]]] = [
+                    np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
+                ] + [
+                    np.asarray(h, dtype=np.float64)
+                    for h in json.loads(r["holes_json"] or "[]")
+                ]
+            self._bc_rings = self.spark.sparkContext.broadcast(rings_list)
+        return self._bc_rings
+
+    def unpersist(self):
+        """Release the cached frames and the ring broadcast."""
+        self.norm.unpersist()
+        self.cover.unpersist()
+        self.cover_idx.unpersist()
+        if self._bc_rings is not None:
+            self._bc_rings.unpersist()
+            self._bc_rings = None
+
+
+def prepare_polygons(
+    polygons: DataFrame,
+    zoom: int = DEFAULT_JOIN_ZOOM,
+    compact: bool = False,
+    min_zoom: int | None = None,
+    keep_holes: bool = False,
+) -> PreparedPolygons:
+    """Build the reusable polygon index for :func:`spatial_join` (see
+    :class:`PreparedPolygons`)."""
+    spark = polygons.sparkSession
+    # polygon side is small: cache so normalize+cover run once, not once per zoom probe
+    norm = normalize_polygons(polygons, keep_holes=keep_holes).cache()
+    cover = polygon_cover(norm, zoom=zoom, compact=compact, min_zoom=min_zoom).cache()
+    if compact:
+        # distinct zooms present in the compacted cover (small driver-side list)
+        zooms = sorted(
+            r["cell_zoom"] for r in cover.select("cell_zoom").distinct().collect()
+        )
+    else:
+        zooms = [zoom]
+    # dense integer polygon surrogate: candidate rows carry a 4-byte poly_idx instead
+    # of the polygon_id string — string columns double the per-row cost of the Python
+    # handoff; ids are re-attached JVM-side from a tiny broadcast map at the end.
+    pid_rows = sorted(
+        r["polygon_id"]
+        for r in norm.filter(F.col("poly_errors") == "")
+        .select("polygon_id")
+        .distinct()
+        .collect()
+    )
+    pid_map = spark.createDataFrame(
+        [(i, pid) for i, pid in enumerate(pid_rows)], ["poly_idx", "polygon_id"]
+    )
+    cover_idx = cover.join(F.broadcast(pid_map), "polygon_id").select(
+        F.col("poly_idx").cast("int").alias("poly_idx"),
+        "cell",
+        "cell_zoom",
+        "interior",
+    ).cache()
+    return PreparedPolygons(
+        spark, zoom, compact, min_zoom, keep_holes,
+        norm, cover, zooms, pid_rows, pid_map, cover_idx,
+    )
+
+
 def spatial_join(
     points: DataFrame,
-    polygons: DataFrame,
+    polygons: DataFrame | None = None,
     zoom: int = DEFAULT_JOIN_ZOOM,
     compact: bool = False,
     salt: int = 8,
@@ -257,6 +359,7 @@ def spatial_join(
     min_zoom: int | None = None,
     single_scan: bool = False,
     keep_holes: bool = False,
+    prepared: PreparedPolygons | None = None,
 ) -> DataFrame:
     """points(point_id, lat, lon) ⋈ polygons(polygon_id, geojson) on containment.
 
@@ -299,19 +402,24 @@ def spatial_join(
         F.col("lat").cast("double").alias("lat"),
         F.col("lon").cast("double").alias("lon"),
     )
-    if keep_holes and refine == "expr":
-        raise ValueError("keep_holes=True is not supported with refine='expr'")
-    # polygon side is small: cache so normalize+cover run once, not once per zoom probe
-    norm = normalize_polygons(polygons, keep_holes=keep_holes).cache()
-    cover = polygon_cover(norm, zoom=zoom, compact=compact, min_zoom=min_zoom).cache()
-
-    if compact:
-        # distinct zooms present in the compacted cover (small driver-side list)
-        zooms = sorted(
-            r["cell_zoom"] for r in cover.select("cell_zoom").distinct().collect()
+    if prepared is None:
+        if polygons is None:
+            raise ValueError("spatial_join needs either polygons or prepared")
+        prepared = prepare_polygons(
+            polygons, zoom=zoom, compact=compact, min_zoom=min_zoom,
+            keep_holes=keep_holes,
         )
     else:
-        zooms = [zoom]
+        # geometry parameters travel with the index (a mismatched zoom would
+        # silently probe the wrong cells)
+        zoom = prepared.zoom
+        keep_holes = prepared.keep_holes
+    if keep_holes and refine == "expr":
+        raise ValueError("keep_holes=True is not supported with refine='expr'")
+    norm = prepared.norm
+    zooms = prepared.zooms
+    pid_map = prepared.pid_map
+    cover_idx = prepared.cover_idx
 
     # candidate join: broadcast ONLY (polygon_id, cell) — rings never enter the
     # broadcast nor the per-candidate shuffle rows (they weigh KBs vs ~40 B/candidate).
@@ -323,27 +431,6 @@ def spatial_join(
         *[cell_parent_expr(F.col("_cell_fine"), z, zoom) for z in zooms]
     )
     probe = fine.withColumn("_cell", F.explode(ancestors)).drop("_cell_fine")
-
-    # dense integer polygon surrogate: candidate rows carry a 4-byte poly_idx instead
-    # of the polygon_id string — string columns double the per-row cost of the Python
-    # handoff; ids are re-attached JVM-side from a tiny broadcast map at the end.
-    pid_rows = sorted(
-        r["polygon_id"]
-        for r in norm.filter(F.col("poly_errors") == "")
-        .select("polygon_id")
-        .distinct()
-        .collect()
-    )
-    idx_of = {pid: i for i, pid in enumerate(pid_rows)}
-    pid_map = spark.createDataFrame(
-        [(i, pid) for i, pid in enumerate(pid_rows)], ["poly_idx", "polygon_id"]
-    )
-    cover_idx = cover.join(F.broadcast(pid_map), "polygon_id").select(
-        F.col("poly_idx").cast("int").alias("poly_idx"),
-        "cell",
-        "cell_zoom",
-        "interior",
-    ).cache()
 
     # interior/boundary split: a point in a FULLY-INSIDE cover cell is a match with no
     # refinement — it never crosses the Python boundary (which costs ~5 µs/row of core
@@ -444,19 +531,7 @@ def spatial_join(
         # stay in columnar buffers and only lat/lon are viewed as numpy.
         # each entry: [outer] or [outer, hole, ...] — single-ring polygons take the
         # cached-RingKernel fast path; holed polygons run the even-odd PIP
-        rings_list = [None] * len(pid_rows)
-        for r in (
-            norm.filter(F.col("poly_errors") == "")
-            .select("polygon_id", "ring_json", "holes_json")
-            .collect()
-        ):
-            rings_list[idx_of[r["polygon_id"]]] = [
-                np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
-            ] + [
-                np.asarray(h, dtype=np.float64)
-                for h in json.loads(r["holes_json"] or "[]")
-            ]
-        bc_rings = spark.sparkContext.broadcast(rings_list)
+        bc_rings = prepared.rings_broadcast()
 
         def refine_arrow(it):
             import pyarrow as pa

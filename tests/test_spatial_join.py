@@ -371,3 +371,28 @@ def test_spatial_join_multipolygon_union_semantics(spark):
             for r in spatial_join_multi(pts_df, polys, how="left_anti",
                                         zoom=14, keep_holes=True).collect()}
     assert anti == set(pts["point_id"]) - {p for p, _ in want}
+
+
+def test_prepared_polygons_reuse(spark, data, oracle_pairs):
+    """prepare_polygons + repeated joins == per-call prep; geometry params travel
+    with the index; unpersist releases cleanly."""
+    pts, polys = data
+    pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
+    polys_df = spark.createDataFrame(polys[["polygon_id", "geojson"]])
+    prep = SJ.prepare_polygons(polys_df, zoom=SJ.DEFAULT_JOIN_ZOOM, compact=True)
+    got1 = {(r["point_id"], r["polygon_id"])
+            for r in SJ.spatial_join(pts_df, prepared=prep).collect()}
+    assert got1 == oracle_pairs
+    # second batch (different point slice) reuses the same index
+    half = spark.createDataFrame(pts.iloc[:1500]).withColumnRenamed("image_id", "point_id")
+    got2 = {(r["point_id"], r["polygon_id"])
+            for r in SJ.spatial_join(half, prepared=prep).collect()}
+    assert got2 == {(p, g) for p, g in oracle_pairs
+                    if p in set(pts.iloc[:1500]["image_id"])}
+    # a contradicting zoom argument is ignored: the index's geometry wins
+    got3 = {(r["point_id"], r["polygon_id"])
+            for r in SJ.spatial_join(pts_df, zoom=5, prepared=prep).collect()}
+    assert got3 == oracle_pairs
+    prep.unpersist()
+    with pytest.raises(ValueError, match="polygons or prepared"):
+        SJ.spatial_join(pts_df)
