@@ -446,3 +446,108 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def cosine_near_dups(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 32,
+    seed: int = 42,
+    max_hamming: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs: (id_a, id_b, cosine) with cosine >= threshold —
+    the all-pairs analog of the text near-dup family, never N^2.
+
+    Pipeline: ONE Arrow scan emits an ``n_bits`` sign-LSH signature per vector
+    (sign of the dot against seeded hyperplanes); candidate pairs come from
+    :func:`dedup.hamming_pairs` (GUARANTEED complete for signature hamming
+    <= max_hamming, hot-bucket safe); the exact cosine verify touches candidate
+    pairs only (two candidate-bounded equi-joins to re-attach the vectors + a
+    vectorized kernel).
+
+    Recall contract (the only probabilistic step): for a pair at angle theta,
+    each signature bit differs independently with p = theta/pi, so a pair with
+    cosine >= t has expected hamming n_bits*arccos(t)/pi.  The default
+    ``max_hamming`` adds a 3-sigma margin (recall ~0.999 per pair at the
+    threshold, higher above it); every candidate surviving the exact verify is
+    a true positive, so precision is exact.  Raise ``max_hamming`` (or
+    ``n_bits``) for stricter recall — ``max_hamming=n_bits`` degrades to exact
+    all-pairs and is only sane for tiny inputs.
+    """
+    import math
+
+    if not (-1.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (-1, 1]")
+    if max_hamming is None:
+        p = math.acos(min(1.0, threshold)) / math.pi
+        max_hamming = min(
+            n_bits - 2,
+            int(math.ceil(n_bits * p + 3.0 * math.sqrt(n_bits * p * (1 - p)))),
+        )
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        first = v.limit(1).collect()
+        if not first:
+            vid_type = dict(v.dtypes)["vec_id"]
+            return spark.createDataFrame(
+                [], f"id_a {vid_type}, id_b {vid_type}, cosine double"
+            )
+        dim = len(first[0]["_v"])
+    planes = np.asarray(_hyperplanes(dim, n_bits, seed))
+    bc_planes = spark.sparkContext.broadcast(planes)
+    vid_type = dict(v.dtypes)["vec_id"]
+
+    def sig_kernel(it):
+        import pyarrow as pa
+
+        pl = bc_planes.value
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            sigs = _signatures_np(vm, pl, n_bits)[:, 0]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(sigs)], ["vec_id", "sig"]
+            )
+
+    sigs = v.mapInArrow(sig_kernel, f"vec_id {vid_type}, sig long")
+
+    from geojson_utility_spark.operators.dedup import hamming_pairs
+
+    cands = hamming_pairs(
+        sigs, "vec_id", "sig", max_distance=max_hamming, n_bits=n_bits
+    ).select("id_a", "id_b")
+    ea = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
+    eb = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    paired = cands.join(ea, "id_a").join(eb, "id_b")
+
+    def verify_kernel(it):
+        import pyarrow as pa
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            va = _list_to_matrix(batch.column("_va"))
+            vb = _list_to_matrix(batch.column("_vb"))
+            dots = np.einsum("ij,ij->i", va, vb)
+            denom = np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, 0.0)
+            keep = np.isfinite(cos) & (cos >= threshold)
+            sel = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("id_a").filter(sel),
+                    batch.column("id_b").filter(sel),
+                    pa.array(cos[keep]),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
+
+    return paired.mapInArrow(
+        verify_kernel, f"id_a {vid_type}, id_b {vid_type}, cosine double"
+    )

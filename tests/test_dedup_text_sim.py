@@ -450,3 +450,46 @@ def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
             want.add((x, y))
     assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == want
     assert (0, 70000) in want
+
+
+def test_cosine_near_dups_planted_and_contract(spark):
+    """cosine_near_dups == brute force restricted to the hamming candidate budget
+    (exact precision; recall complete within max_hamming); planted near-dups with
+    tiny angles are found."""
+    import itertools
+
+    import numpy as np
+
+    from geojson_utility_spark.operators.similarity import (
+        _hyperplanes,
+        _signatures_np,
+        cosine_near_dups,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, n = 32, 200
+    base = rng.normal(size=(n, dim))
+    # planted: 3 near-dup pairs at tiny angles
+    for i, eps in ((0, 0.01), (1, 0.03), (2, 0.05)):
+        base[n - 1 - i] = base[i] + eps * rng.normal(size=dim)
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    t, n_bits, max_h = 0.8, 32, 10
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dups(
+            df, threshold=t, n_bits=n_bits, max_hamming=max_h, seed=42
+        ).collect()
+    }
+    planes = np.asarray(_hyperplanes(dim, n_bits, 42))
+    sigs = _signatures_np(base, planes, n_bits)[:, 0].astype(np.int64)
+    want = set()
+    for i, j in itertools.combinations(range(n), 2):
+        cos = float(base[i] @ base[j] / (np.linalg.norm(base[i]) * np.linalg.norm(base[j])))
+        ham = bin(int(sigs[i]) ^ int(sigs[j]) & (2**64 - 1)).count("1")
+        if cos >= t and ham <= max_h:
+            want.add((i, j))
+    assert got == want
+    assert {(0, n - 1), (1, n - 2), (2, n - 3)} <= got

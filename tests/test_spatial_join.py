@@ -396,3 +396,60 @@ def test_prepared_polygons_reuse(spark, data, oracle_pairs):
     prep.unpersist()
     with pytest.raises(ValueError, match="polygons or prepared"):
         SJ.spatial_join(pts_df)
+
+
+def test_streaming_spatial_join_matches_batch(spark, tmp_path):
+    """File-source stream through the prepared-index join == batch join on the
+    same rows; the plan is stateless (no watermark, no state store)."""
+    import time
+
+    from geojson_utility_spark.operators.spatial_join import prepare_polygons
+    from geojson_utility_spark.streaming.spatial import streaming_spatial_join
+
+    pts = FX.image_point([f"img_{i:012d}" for i in range(4000)]).rename(
+        columns={"image_id": "point_id"}
+    )
+    polys_df = spark.createDataFrame(FX.make_polygons(25)[["polygon_id", "geojson"]])
+    prep = prepare_polygons(polys_df, compact=True)
+
+    src = str(tmp_path / "pts_stream")
+    # two micro-batch files
+    spark.createDataFrame(pts.iloc[:2000]).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pts.iloc[2000:]).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("point_id string, lat double, lon double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_spatial_join(stream, prep)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sj_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.sql("SELECT point_id, polygon_id FROM sj_stream").collect()
+            if got:
+                break
+        q.processAllAvailable()
+        got = {
+            (r["point_id"], r["polygon_id"])
+            for r in spark.sql("SELECT point_id, polygon_id FROM sj_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["point_id"], r["polygon_id"])
+        for r in SJ.spatial_join(
+            spark.createDataFrame(pts), prepared=prep
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+    # batch input is rejected with a clear error
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_spatial_join(spark.createDataFrame(pts), prep)
+    prep.unpersist()
