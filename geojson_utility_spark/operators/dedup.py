@@ -513,7 +513,6 @@ def hamming_pairs(
             )
         ).alias("_ci", "_cv"),
     )
-    # bucket sizes via a window on the same key the join shuffles on (exchange reuse)
     # over-cap bucket list via groupBy + broadcast split (map-side partial agg
     # collapses to one row per distinct bucket; a window here would shuffle+sort
     # every chunk row — same measured win as minhash_candidate_pairs).  chunks is

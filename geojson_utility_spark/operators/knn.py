@@ -247,13 +247,15 @@ def within_distance_join(
 
     zoom=None picks the zoom where an equator tile ~ radius (R stays ~2-4).
 
-    Polar domain: the Mercator tile grid ends at ±MAX_LAT (~85.05°), so the
-    per-target replication bound is only valid while the target's reach
-    (|t_lat| + radius as degrees + one tile) stays below it.  Targets whose reach
-    crosses that limit are routed through an EXACT brute-force branch (broadcast
-    nested-loop against the point table) instead of silently under-replicating —
-    the polar target population is tiny in any real corpus, so the branch stays
-    cheap while the grid path keeps its completeness guarantee everywhere else.
+    Polar domain: the Mercator tile grid ends at ±MAX_LAT (~85.05°); points
+    poleward of it are clamped into the last tile row, where tile distance no
+    longer bounds true distance.  Targets whose match region can contain such
+    points (|t_lat| + radius as degrees >= MAX_LAT) are routed through an EXACT
+    brute-force branch (broadcast nested-loop against the point table) instead
+    of silently under-replicating — that population is tiny in any real corpus,
+    so the branch stays cheap while the grid path keeps its completeness
+    guarantee everywhere else (its per-target bound may clamp at MAX_LAT safely:
+    no grid cell lies poleward of the last row).
     """
     import math
 
@@ -270,14 +272,24 @@ def within_distance_join(
         F.col("lat").cast("double").alias("t_lat"),
         F.col("lon").cast("double").alias("t_lon"),
     )
-    # per-target replication radius from the region's worst-case latitude; the
-    # bound breaks past the Mercator limit -> those targets take the exact branch
-    reach = F.abs(F.col("t_lat")) + F.lit(radius_km / 111.0 + tile_deg)
+    # Routing: only targets whose MATCH REGION can contain points poleward of the
+    # Mercator limit take the exact branch — those points are clamped into the
+    # grid's last tile row, where tile distance no longer bounds true distance.
+    # The criterion is |t_lat| + radius-as-degrees >= MAX_LAT with NO tile term:
+    # the per-target bound below may clamp its cos() at MAX_LAT safely, because
+    # no grid cell lies poleward of the last row (km-per-tile there is a valid
+    # lower bound for every cell a sub-MAX_LAT point can occupy).  Including the
+    # (auto-zoom-dependent) tile width in the routing test would shunt whole
+    # mid-latitude corpora into the O(N*M) exact branch at large radii.
     from geojson_utility_spark.functions.cells import MAX_LAT
 
-    tgt = all_tgt.filter(reach < F.lit(MAX_LAT))
-    polar = all_tgt.filter(~(reach < F.lit(MAX_LAT)))
-    lat_reach = F.least(F.lit(MAX_LAT), reach)
+    radius_deg = radius_km / 111.0
+    is_polar = F.abs(F.col("t_lat")) + F.lit(radius_deg) >= F.lit(MAX_LAT)
+    tgt = all_tgt.filter(~is_polar)
+    polar = all_tgt.filter(is_polar)
+    lat_reach = F.least(
+        F.lit(MAX_LAT), F.abs(F.col("t_lat")) + F.lit(radius_deg + tile_deg)
+    )
     km_min = F.lit(EARTH_CIRC_KM / (1 << zoom)) * F.cos(F.radians(lat_reach))
     r_t = F.ceil(F.lit(radius_km) / (F.lit(SAFETY) * km_min)) + F.lit(1)
     # driver-side R_max bounds the offsets table (targets are the small side)
@@ -286,7 +298,12 @@ def within_distance_join(
     )
     parts = []
     tgt_r = tgt.withColumn("_r", r_t.cast("int"))
-    r_max = tgt_r.agg(F.max("_r")).first()[0]
+    # ONE probe job over the small target side: grid radius max + polar presence
+    stats = all_tgt.agg(
+        F.max(F.when(~is_polar, r_t.cast("int"))).alias("_rmax"),
+        F.max(is_polar.cast("int")).alias("_haspolar"),
+    ).first()
+    r_max, has_polar = stats["_rmax"], bool(stats["_haspolar"] or 0)
     if r_max is not None:
         index = _replicated_index(tgt_r, zoom, int(r_max), radius_col="_r")
         parts.append(
@@ -295,9 +312,9 @@ def within_distance_join(
             .filter(F.col("dist_km") <= radius_km)
             .select("point_id", "target_id", "dist_km")
         )
-    # exact branch for the (rare) targets whose grid bound would be clamped at the
-    # Mercator limit: broadcast nested-loop, one probe count on the small side
-    if polar.limit(1).count() > 0:
+    # exact branch for the (rare) targets whose match region crosses the Mercator
+    # limit: broadcast nested-loop against the full point side
+    if has_polar:
         parts.append(
             pts.crossJoin(F.broadcast(polar))
             .withColumn("dist_km", dist)

@@ -764,7 +764,13 @@ def spatial_join_multi(
     with the regular two-phase engine under synthetic part ids, then matches are
     mapped back to feature ids through a broadcast of the tiny (part_id ->
     polygon_id) table and deduped per (point, feature).  Composes with
-    ``keep_holes=True`` — every part carries its own interior rings."""
+    ``keep_holes=True`` — every part carries its own interior rings.
+
+    Cache lifetime: each call caches the exploded parts frame plus the inner
+    prepare_polygons frames for the duration of the query; long-lived sessions
+    issuing many multipolygon joins against CHANGING polygon sets should
+    ``spark.catalog.clearCache()`` between batches (for a FIXED polygon set,
+    explode once and reuse a prepared index via :func:`spatial_join` instead)."""
     parts = explode_multipolygon_parts(polygons).cache()
     tagged = parts.select(
         F.concat_ws("#", "polygon_id", F.col("part_idx").cast("string")).alias(

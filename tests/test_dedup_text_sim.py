@@ -453,9 +453,9 @@ def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
 
 
 def test_cosine_near_dups_planted_and_contract(spark):
-    """cosine_near_dups == brute force restricted to the hamming candidate budget
-    (exact precision; recall complete within max_hamming); planted near-dups with
-    tiny angles are found."""
+    """cosine_near_dups == brute force restricted to pairs sharing any LSH table
+    signature (exact precision; recall analytic); planted near-dups with tiny
+    angles are found and the recall calculator is sane."""
     import itertools
 
     import numpy as np
@@ -463,6 +463,7 @@ def test_cosine_near_dups_planted_and_contract(spark):
     from geojson_utility_spark.operators.similarity import (
         _hyperplanes,
         _signatures_np,
+        cosine_lsh_recall,
         cosine_near_dups,
     )
 
@@ -476,20 +477,28 @@ def test_cosine_near_dups_planted_and_contract(spark):
         [(i, base[i].tolist()) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    t, n_bits, max_h = 0.8, 32, 10
+    t, n_bits, n_tables, seed = 0.8, 8, 12, 42
     got = {
         (r["id_a"], r["id_b"])
         for r in cosine_near_dups(
-            df, threshold=t, n_bits=n_bits, max_hamming=max_h, seed=42
+            df, threshold=t, n_bits=n_bits, n_tables=n_tables, seed=seed
         ).collect()
     }
-    planes = np.asarray(_hyperplanes(dim, n_bits, 42))
-    sigs = _signatures_np(base, planes, n_bits)[:, 0].astype(np.int64)
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(dim, n_bits, seed + tt)) for tt in range(n_tables)]
+    )
+    sigs = _signatures_np(base, planes, n_bits)  # (n, n_tables)
     want = set()
     for i, j in itertools.combinations(range(n), 2):
-        cos = float(base[i] @ base[j] / (np.linalg.norm(base[i]) * np.linalg.norm(base[j])))
-        ham = bin(int(sigs[i]) ^ int(sigs[j]) & (2**64 - 1)).count("1")
-        if cos >= t and ham <= max_h:
+        cos = float(
+            base[i] @ base[j]
+            / (np.linalg.norm(base[i]) * np.linalg.norm(base[j]))
+        )
+        if cos >= t and (sigs[i] == sigs[j]).any():
             want.add((i, j))
     assert got == want
     assert {(0, n - 1), (1, n - 2), (2, n - 3)} <= got
+    # recall calculator: monotone in tables, ~1 at tiny angles, high at t=0.95
+    assert cosine_lsh_recall(0.999, 16, 16) > 0.999
+    assert cosine_lsh_recall(0.95, 16, 16) > 0.9
+    assert cosine_lsh_recall(0.8, 16, 4) < cosine_lsh_recall(0.8, 16, 32)
