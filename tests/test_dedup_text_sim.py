@@ -502,3 +502,28 @@ def test_cosine_near_dups_planted_and_contract(spark):
     assert cosine_lsh_recall(0.999, 16, 16) > 0.999
     assert cosine_lsh_recall(0.95, 16, 16) > 0.9
     assert cosine_lsh_recall(0.8, 16, 4) < cosine_lsh_recall(0.8, 16, 32)
+
+
+def test_cosine_near_dups_hot_bucket_bounded(spark):
+    """A degenerate embedding cluster (500 copies of one direction) must not
+    produce |bucket|^2 candidate blowup through the single-bucket join — the
+    over-cap split re-keys hot rows on bucket pairs, and exact verify still
+    returns every within-cluster pair sharing >= 2 tables (all of them here,
+    since identical directions share every table)."""
+    import numpy as np
+
+    from geojson_utility_spark.operators.similarity import cosine_near_dups
+
+    rng = np.random.default_rng(31)
+    d = rng.normal(size=16)
+    rows = [(i, (d * (1.0 + 0.001 * i)).tolist()) for i in range(500)]  # same direction
+    rows += [(1000 + i, rng.normal(size=16).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_near_dups(
+        df, threshold=0.999, n_bits=8, n_tables=4, bucket_cap=100
+    ).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    # every within-cluster pair is cosine 1.0 and shares all 4 (hot) tables
+    assert len(got) == 500 * 499 // 2
+    assert all(a < 1000 and b < 1000 for a, b in got)
+    assert (out["cosine"] > 0.999).all()

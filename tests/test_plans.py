@@ -118,3 +118,24 @@ def test_paged_window_bounded_by_page_depth(spark):
     plan = _plan(DB.recent_uploads_page(lineage, 3, page=2, per_page=5))
     # the limit must sit BELOW the window in the plan (TakeOrdered feeds the window)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prepared_index_join_plan_shape(spark, tmp_path):
+    """spatial_join through a PreparedPolygons index keeps the zero-point-shuffle
+    plan: broadcast hash join only, every exchange on the tiny polygon side."""
+    import re
+
+    from geojson_utility_spark.operators.spatial_join import prepare_polygons
+
+    pts_path = str(tmp_path / "pts_prep.parquet")
+    spark.createDataFrame(
+        FX.image_point([f"img_{i:012d}" for i in range(2000)])
+    ).withColumnRenamed("image_id", "point_id").write.parquet(pts_path)
+    pts = spark.read.parquet(pts_path)
+    polys = spark.createDataFrame(FX.make_polygons(10)[["polygon_id", "geojson"]])
+    prep = prepare_polygons(polys, compact=True)
+    plan = _plan(spatial_join(pts, prepared=prep))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "polygon_id" in m.group(1), f"point-side shuffle found: {m.group(0)}"
+    prep.unpersist()
