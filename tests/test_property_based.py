@@ -181,3 +181,33 @@ def test_wav_roundtrip_property(n, ch, sr, seed):
     s = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
     out, sr2 = M.decode_wav(M.encode_wav(s, sr))
     assert sr2 == sr and np.array_equal(out, s)
+
+
+@given(st.integers(0, 10_000), st.integers(1, 3))
+@settings(max_examples=25, deadline=None)
+def test_holed_pip_even_odd_property(seed, n_holes):
+    """points_in_polygon with interior rings == (inside outer, boundary-incl)
+    minus (strictly inside any hole) — random rectangle outer + random disjoint
+    rectangle holes, random + planted-on-edge points."""
+    rng = np.random.default_rng(seed)
+
+    def rect(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+    outer = rect(0.0, 0.0, 10.0, 8.0)
+    holes = []
+    for i in range(n_holes):
+        x0 = 0.5 + 3.0 * i + rng.uniform(0, 0.5)
+        y0 = rng.uniform(0.5, 3.0)
+        holes.append(rect(x0, y0, x0 + rng.uniform(0.5, 2.0), y0 + rng.uniform(0.5, 3.5)))
+    px = np.concatenate([rng.uniform(-1, 11, 300), [holes[0][0, 0]], [5.0]])
+    py = np.concatenate([rng.uniform(-1, 9, 300), [(holes[0][0, 1] + holes[0][2, 1]) / 2], [0.0]])
+    got = P.points_in_polygon(px, py, [outer] + holes)
+    in_outer = P.points_in_ring(px, py, outer, boundary="include")
+    strict_hole = np.zeros_like(in_outer)
+    for h in holes:
+        strict_hole |= P.points_in_ring(px, py, h, boundary="exclude")
+    want = in_outer & ~strict_hole
+    assert (got == want).all()
+    # planted: on-hole-edge point stays inside; on-outer-edge point stays inside
+    assert got[-2] and got[-1]
