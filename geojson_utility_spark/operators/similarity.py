@@ -567,7 +567,27 @@ def cosine_near_dups(
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     cands = cand.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
+    return _verify_cosine_pairs(v, cands, threshold, vid_type)
 
+
+def _training_sample(v: DataFrame, n_train: int) -> np.ndarray:
+    """Deterministic hash-spaced quantizer-training sample over (vec_id, _v) —
+    every ~N/n_train-th vector by id hash, independent of partition layout
+    (same recipe as ivf_topk's inline sampler)."""
+    n_total = v.count()
+    if n_total == 0:
+        return np.empty((0, 0))
+    every = max(1, n_total // n_train)
+    rows = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(every)) == 0).collect()
+    return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+
+
+def _verify_cosine_pairs(
+    v: DataFrame, cands: DataFrame, threshold: float, vid_type: str
+) -> DataFrame:
+    """Exact verify shared by the LSH- and IVF-blocked near-dup operators:
+    re-attach both vectors with candidate-bounded equi-joins, compute cosine in a
+    vectorized kernel, keep finite cosines >= threshold (exact precision)."""
     ea = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
     eb = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
     paired = cands.join(ea, "id_a").join(eb, "id_b")
@@ -598,3 +618,106 @@ def cosine_near_dups(
     return paired.mapInArrow(
         verify_kernel, f"id_a {vid_type}, id_b {vid_type}, cosine double"
     )
+
+
+def ivf_near_dups(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 256,
+    n_probe: int = 2,
+    train_size: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+    bucket_cap: int = 200_000,
+) -> DataFrame:
+    """Cluster-blocked embedding near-dups (the SemDeDup shape): pairs are
+    compared only within shared IVF lists — the right blocking for LOOSE
+    thresholds (t < ~0.9) where sign-LSH separation degrades.
+
+    Pipeline: driver-side k-means on a deterministic hash-spaced sample (the
+    same quantizer recipe as :func:`ivf_topk`); ONE Arrow scan assigns every
+    vector to its ``n_probe`` nearest lists; candidates are pairs sharing any
+    list (self-equi-join on list id, with the over-cap bucket split for
+    degenerate clusters); exact cosine verify on candidates.
+
+    Contract: precision exact.  Recall is blocking-limited — a near-dup pair is
+    found iff the two vectors share one of their n_probe nearest lists; tiny
+    angles virtually always do (they quantize identically), and ``n_probe > 1``
+    catches Voronoi-boundary pairs.  Candidate volume ~ sum over lists of
+    |list|^2 — bound it by sizing n_lists so E|list| = n_probe*N/n_lists stays
+    ~10^4-10^5 at your N.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    vid_type = dict(v.dtypes)["vec_id"]
+    train = _training_sample(v, train_size)
+    if len(train) == 0:
+        return spark.createDataFrame(
+            [], f"id_a {vid_type}, id_b {vid_type}, cosine double"
+        )
+    cents = _kmeans_fit(train, n_lists, n_iter, seed)
+    n_probe = min(n_probe, len(cents))
+    bc = spark.sparkContext.broadcast((cents, n_probe))
+
+    def assign_kernel(it):
+        import pyarrow as pa
+
+        cen, p = bc.value
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vm = _list_to_matrix(batch.column("_v"))
+            d2 = (
+                (vm * vm).sum(axis=1)[:, None]
+                - 2.0 * (vm @ cen.T)
+                + (cen * cen).sum(axis=1)[None, :]
+            )
+            lists = np.argpartition(d2, p - 1, axis=1)[:, :p].astype(np.int32)
+            idx = np.repeat(np.arange(n, dtype=np.int64), p)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id").take(pa.array(idx)),
+                 pa.array(lists.reshape(-1))],
+                ["vec_id", "_list"],
+            )
+
+    assigned = v.mapInArrow(
+        assign_kernel, f"vec_id {vid_type}, _list int"
+    ).localCheckpoint(eager=False)
+    hot = (
+        assigned.groupBy("_list")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .select("_list")
+    )
+    small = assigned.join(F.broadcast(hot), ["_list"], "left_anti")
+    hot_rows = assigned.join(F.broadcast(hot), ["_list"], "left_semi")
+    a, b = small.alias("a"), small.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._list") == F.col("b._list"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    # over-cap lists re-key on PAIRS of the row's over-cap lists (needs n_probe
+    # >= 2 to fire; with one probe an over-cap list's pairs are dropped — raise
+    # n_lists instead of relying on the escape hatch)
+    hx, hy = hot_rows.alias("x"), hot_rows.alias("y")
+    hot_keys = hx.join(
+        hy,
+        (F.col("x.vec_id") == F.col("y.vec_id"))
+        & (F.col("x._list") < F.col("y._list")),
+    ).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("x._list").alias("_l1"),
+        F.col("y._list").alias("_l2"),
+    )
+    ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
+    cand_hot = ha.join(
+        hb,
+        (F.col("a._l1") == F.col("b._l1")) & (F.col("a._l2") == F.col("b._l2"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    cands = cand.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
+    return _verify_cosine_pairs(v, cands, threshold, vid_type)

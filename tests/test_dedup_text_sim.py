@@ -527,3 +527,53 @@ def test_cosine_near_dups_hot_bucket_bounded(spark):
     assert len(got) == 500 * 499 // 2
     assert all(a < 1000 and b < 1000 for a, b in got)
     assert (out["cosine"] > 0.999).all()
+
+
+def test_ivf_near_dups_blocking_contract(spark):
+    """ivf_near_dups == brute force restricted to pairs sharing an assigned list
+    (exact precision; blocking recall); planted near-dup clusters are found at a
+    loose threshold where LSH blocking degrades."""
+    import itertools
+
+    import numpy as np
+
+    from geojson_utility_spark.operators.similarity import (
+        _kmeans_fit,
+        ivf_near_dups,
+    )
+
+    rng = np.random.default_rng(41)
+    dim = 16
+    # 5 well-separated cluster centers, 40 members each with noise -> loose
+    # near-dups within clusters
+    centers = rng.normal(size=(5, dim)) * 5.0
+    rows, vecs = [], []
+    k = 0
+    for c in centers:
+        for _ in range(40):
+            vv = c + rng.normal(size=dim) * 0.4
+            rows.append((k, vv.tolist())); vecs.append(vv); k += 1
+    mat = np.asarray(vecs)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    t, n_lists, n_probe, seed = 0.8, 8, 2, 42
+    out = ivf_near_dups(
+        df, threshold=t, n_lists=n_lists, n_probe=n_probe,
+        train_size=200, n_iter=10, seed=seed,
+    ).toPandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    # reproduce the quantizer driver-side: same sample rule (every row: N=200,
+    # train_size=200 -> every=1), same k-means
+    cents = _kmeans_fit(mat, n_lists, 10, seed)
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ cents.T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+    lists = np.argpartition(d2, n_probe - 1, axis=1)[:, :n_probe]
+    norms = np.linalg.norm(mat, axis=1)
+    want = set()
+    for i, j in itertools.combinations(range(len(mat)), 2):
+        cos = float(mat[i] @ mat[j] / (norms[i] * norms[j]))
+        if cos >= t and len(set(lists[i]) & set(lists[j])) > 0:
+            want.add((i, j))
+    assert got == want and len(want) > 100
+    assert (out["cosine"] >= t).all()
