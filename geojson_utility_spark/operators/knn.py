@@ -202,7 +202,9 @@ def knn_join(
         unresolved = pts.join(undone_small, "point_id", "left_semi")
         radius *= 4
 
-    if unresolved is not None and unresolved.limit(1).count() > 0:
+    # loop invariant: unresolved is None iff the last round's n_undone was 0, so
+    # a surviving frame is known non-empty — no extra probe job needed here
+    if unresolved is not None:
         # exact fallback for target-sparse stragglers: brute force vs all targets
         fallback = (
             unresolved.crossJoin(F.broadcast(tgt))
