@@ -212,12 +212,9 @@ def ivf_topk(
     if len(qids) == 0:
         return _empty_topk(vectors, queries, id_col, query_id_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    # deterministic training sample: hash-spaced over ids (NOT limit/sample, whose
-    # row choice depends on partition layout)
-    n_total = vectors.count()
-    every = max(1, n_total // n_train)
-    train_rows = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(every)) == 0).collect()
-    train = np.asarray([list(r["_v"]) for r in train_rows], dtype=np.float64)
+    train = _training_sample(v, n_train)
+    if len(train) == 0:
+        return _empty_topk(vectors, queries, id_col, query_id_col)
     cents = _kmeans_fit(train, n_lists, n_iter, seed)
 
     # per-query probe lists: n_probe nearest centroids by cosine
@@ -642,13 +639,20 @@ def ivf_near_dups(
     list (self-equi-join on list id, with the over-cap bucket split for
     degenerate clusters); exact cosine verify on candidates.
 
-    Contract: precision exact.  Recall is blocking-limited — a near-dup pair is
-    found iff the two vectors share one of their n_probe nearest lists; tiny
-    angles virtually always do (they quantize identically), and ``n_probe > 1``
-    catches Voronoi-boundary pairs.  Candidate volume ~ sum over lists of
-    |list|^2 — bound it by sizing n_lists so E|list| = n_probe*N/n_lists stays
-    ~10^4-10^5 at your N.
+    Contract: precision exact.  Recall is blocking-limited — for UNDER-cap lists
+    a pair is found iff the two vectors share one of their n_probe nearest lists
+    (tiny angles virtually always do — they quantize identically — and
+    ``n_probe > 1`` catches Voronoi-boundary pairs).  Lists over ``bucket_cap``
+    take the pair-key escape hatch, which keeps only pairs sharing >= 2 over-cap
+    lists: pairs whose ONLY shared list is over-cap are dropped (the same
+    documented cap contract as minhash banding).  A mega-duplicate cluster that
+    overflows a list should be collapsed by EXACT dedup upstream (byte-identical
+    copies) or met with a larger ``bucket_cap``/``n_lists``.  Candidate volume
+    ~ sum over lists of |list|^2 — bound it by sizing n_lists so
+    E|list| = n_probe*N/n_lists stays ~10^4-10^5 at your N.
     """
+    if not (-1.0 < threshold <= 1.0):  # NaN fails the chain -> rejected too
+        raise ValueError("threshold must be in (-1, 1]")
     spark = vectors.sparkSession
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     vid_type = dict(v.dtypes)["vec_id"]

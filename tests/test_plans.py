@@ -79,8 +79,11 @@ def test_flagship_single_shuffle(spark, tmp_path):
     # reaches the broadcast join straight from its parquet scan
     import re
 
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
-        assert "polygon_id" in m.group(1), f"point-side shuffle found: {m.group(0)}"
+    for line in plan.splitlines():
+        # ANY shuffle exchange (hash/range/round-robin) must be on the tiny
+        # polygon side; broadcast exchanges are the candidate broadcast itself
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "polygon_id" in line, f"point-side shuffle found: {line.strip()}"
 
 
 def test_dashboard_top1_is_take_ordered(spark):
@@ -136,6 +139,7 @@ def test_prepared_index_join_plan_shape(spark, tmp_path):
     prep = prepare_polygons(polys, compact=True)
     plan = _plan(spatial_join(pts, prepared=prep))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
-        assert "polygon_id" in m.group(1), f"point-side shuffle found: {m.group(0)}"
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "polygon_id" in line, f"point-side shuffle found: {line.strip()}"
     prep.unpersist()
