@@ -77,7 +77,6 @@ def test_flagship_single_shuffle(spark, tmp_path):
     assert "SortMergeJoin" not in plan
     # every Exchange must hash-partition on polygon_id (tiny side); the point table
     # reaches the broadcast join straight from its parquet scan
-    import re
 
     for line in plan.splitlines():
         # ANY shuffle exchange (hash/range/round-robin) must be on the tiny
@@ -126,7 +125,6 @@ def test_paged_window_bounded_by_page_depth(spark):
 def test_prepared_index_join_plan_shape(spark, tmp_path):
     """spatial_join through a PreparedPolygons index keeps the zero-point-shuffle
     plan: broadcast hash join only, every exchange on the tiny polygon side."""
-    import re
 
     from geojson_utility_spark.operators.spatial_join import prepare_polygons
 
