@@ -312,6 +312,53 @@ def make_locations(n_extra: int = 50, seed: int = SEED) -> pd.DataFrame:
     )
 
 
+def make_neardup_embeddings(
+    n: int = 300, dim: int = 32, n_planted: int = 20, seed: int = SEED
+) -> pd.DataFrame:
+    """(vec_id, embedding list<double>) with planted near-dup PAIRS — the driver
+    fixture for the ``cosine_near_dups`` entry (the sf tables have no pair above
+    cosine 0.52, so a table-driven near-dup probe would be empty).
+
+    Row n-1-i is a perturbed copy of row i (eps sweeping 0.05..0.9), so the pair
+    cosines sweep both sides of the 0.8 entry threshold and the verify filter is
+    exercised.  Oracle-margin properties at the entry's LSH family (8 bits x 8
+    tables, seed 42), pinned by tests/test_entry.py: min |plane.v| = 1.1e-3 and
+    min |pair_cosine - 0.8| = 1.0e-3 — ~12 orders above the BLAS-vs-SQL
+    summation-order noise, so the literal-embedded DuckDB oracle is
+    deterministic; max bucket size 8 (no hot buckets at any sane cap).
+    """
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    eps = np.linspace(0.05, 0.9, n_planted)
+    for i in range(n_planted):
+        m[n - 1 - i] = m[i] + eps[i] * rng.normal(size=dim)
+    return pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(r) for r in m]})
+
+
+def make_clustered_embeddings(
+    n_clusters: int = 5, per_cluster: int = 50, dim: int = 16, seed: int = SEED + 1
+) -> pd.DataFrame:
+    """(vec_id, embedding list<double>) drawn from well-separated Gaussian
+    clusters — the driver fixture for the ``ivf_near_dups`` entry (loose-threshold
+    near-dups live WITHIN clusters, the regime IVF blocking is built for).
+
+    Oracle-margin properties at the entry's quantizer (8 lists, n_probe 2,
+    seed 42), pinned by tests/test_entry.py: min d2 gap between the 2nd and 3rd
+    nearest centroid is 8.9e-2 (probe-set stability) and min |pair_cosine - 0.8|
+    is 0.17 — the centroid-literal DuckDB oracle is deterministic; max list size
+    100 (never over cap).
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5.0
+    rows = []
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append(c + rng.normal(size=dim) * 0.4)
+    return pd.DataFrame(
+        {"vec_id": np.arange(len(rows)), "embedding": [list(r) for r in rows]}
+    )
+
+
 def make_lineage(n: int = 200, seed: int = SEED) -> pd.DataFrame:
     """~200 seeded run rows across users/statuses/dates (FIXTURES.md §4).
 

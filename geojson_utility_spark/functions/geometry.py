@@ -21,17 +21,40 @@ class GeometryError(ValueError):
     pass
 
 
+def _check_polygon_type(geom: dict) -> None:
+    """Reject non-Polygon geometry types with a SPECIFIC message.
+
+    Engine extension past the reference (which blindly indexes coordinates[0] —
+    backend/routers/catchment.py:100 — so a LineString/Point feature produces a
+    shape crash or silent garbage): a mixed-geometry FeatureCollection lands in
+    ``poly_errors`` with the type named.  A missing ``type`` key keeps the
+    reference's lenient behavior (coordinates decide)."""
+    gtype = geom.get("type")
+    if gtype in (None, "Polygon"):
+        return
+    if gtype == "MultiPolygon":
+        raise GeometryError(
+            "MultiPolygon geometry: use explode_multipolygon_parts / "
+            "spatial_join_multi for union semantics"
+        )
+    raise GeometryError(
+        f"unsupported geometry type '{gtype}' in features[0] (expected Polygon)"
+    )
+
+
 def extract_outer_ring(geojson: str | dict) -> list[list[float]]:
     """The reference's projection: features[0].geometry.coordinates[0].
 
     Raises GeometryError with the reference's exact error strings
-    (reference: backend/routers/catchment.py:94-99).
+    (reference: backend/routers/catchment.py:94-99); non-Polygon geometry types
+    additionally get the specific :func:`_check_polygon_type` message.
     """
     doc = json.loads(geojson) if isinstance(geojson, str) else geojson
     features = doc.get("features", [])
     if not features:
         raise GeometryError("No features found in GeoJSON response")
     geom = features[0].get("geometry", {}) or {}
+    _check_polygon_type(geom)
     coords = geom.get("coordinates")
     if not coords or not isinstance(coords, list):
         raise GeometryError("Invalid or missing coordinates in geometry")
@@ -49,6 +72,7 @@ def extract_rings(geojson: str | dict) -> list[list[list[float]]]:
     if not features:
         raise GeometryError("No features found in GeoJSON response")
     geom = features[0].get("geometry", {}) or {}
+    _check_polygon_type(geom)
     coords = geom.get("coordinates")
     if not coords or not isinstance(coords, list):
         raise GeometryError("Invalid or missing coordinates in geometry")

@@ -20,8 +20,125 @@ in (vectorized) expressions or Arrow batches.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Upper bound on the over-cap bucket list the driver will hold: beyond this the
+# machinery falls back to keeping the list distributed (broadcast of the agg).
+# 100k keys of 2-3 longs is a few MB — far below any broadcast-side concern.
+_HOT_COLLECT_MAX = 100_000
+
+
+def _capped_self_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    carry: list[str],
+    bucket_cap: int,
+) -> tuple[DataFrame, int | None]:
+    """Bucket-cap candidate machinery shared by every capped blocking operator
+    (minhash bands, hamming chunks, sign-LSH tables, IVF lists).
+
+    Input: a (id, key..., carry...) frame where rows sharing a full key tuple are
+    candidate partners.  Output: (pairs, n_hot) — pairs has columns
+    ``id_a, id_b`` (+ ``{c}_a, {c}_b`` per carry column) with ``id_a < id_b``
+    and MAY contain duplicates (callers dedup); ``n_hot`` is the number of
+    over-cap buckets, or None when the list exceeded ``_HOT_COLLECT_MAX``.
+
+    ADAPTIVE tiers (the r3 fixed pipeline scheduled the anti/semi splits and the
+    three-join pair-key path even when no bucket was hot, which roughly doubled
+    the operator's wall time at bench scale — measured in BENCH.md r4):
+
+    1. The over-cap bucket list is computed ONCE (map-side-combined groupBy over
+       the lazily-checkpointed banded frame) and collected — it is provably tiny
+       (<= N * keys_per_id / bucket_cap entries).
+    2. EMPTY (the common case): plain single-bucket self-join, nothing else —
+       no anti/semi scans, no pair-key joins, no broadcast exchanges.
+    3. Non-empty and <= _HOT_COLLECT_MAX: the collected keys become a driver-local
+       broadcast frame (no recompute of the agg); under-cap rows join on their
+       bucket, over-cap rows re-key on PAIRS of their over-cap buckets (ordered by
+       the first key column, which is unique per id by construction in every
+       caller) — the same recall contract as before, cheaper to schedule.
+    4. Larger (degenerate corpus at extreme N): identical plan but the hot list
+       stays a distributed frame broadcast from the agg.
+
+    Recall contract for capped buckets is unchanged from r3 and documented at
+    each caller: a pair whose ONLY agreement is a single over-cap bucket is not
+    a candidate.
+    """
+    spark = banded.sparkSession
+    # lazy checkpoint: the bucket-count job materializes it; the join branches
+    # then read the materialized partitions instead of re-evaluating the
+    # banding/assignment subtree (measured at sf0.1: recompute 4.4 s vs
+    # checkpoint 2.8 s for the full minhash near-dup pipeline)
+    banded = banded.localCheckpoint(eager=False)
+
+    def pair_sel(joined: DataFrame) -> DataFrame:
+        sel = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        for c in carry:
+            sel.append(F.col(f"a.{c}").alias(f"{c}_a"))
+            sel.append(F.col(f"b.{c}").alias(f"{c}_b"))
+        return joined.select(*sel)
+
+    def eq(x: str, y: str, cols: list[str]):
+        return reduce(and_, [F.col(f"{x}.{c}") == F.col(f"{y}.{c}") for c in cols])
+
+    lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    hot_agg = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > bucket_cap)
+        .select(*key_cols)
+    )
+    collected = hot_agg.limit(_HOT_COLLECT_MAX + 1).collect()
+    if not collected:
+        a, b = banded.alias("a"), banded.alias("b")
+        return pair_sel(a.join(b, eq("a", "b", key_cols) & lt)), 0
+    if len(collected) > _HOT_COLLECT_MAX:
+        hot, n_hot = hot_agg, None
+    else:
+        hot = spark.createDataFrame(collected, banded.select(*key_cols).schema)
+        n_hot = len(collected)
+    small = banded.join(F.broadcast(hot), key_cols, "left_anti")
+    hot_rows = banded.join(F.broadcast(hot), key_cols, "left_semi")
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = pair_sel(a.join(b, eq("a", "b", key_cols) & lt))
+    # over-cap rows re-keyed on PAIRS of their over-cap buckets
+    hx, hy = hot_rows.alias("x"), hot_rows.alias("y")
+    key_sel = (
+        [F.col(f"x.{id_col}").alias(id_col)]
+        + [F.col(f"x.{c}").alias(c) for c in carry]
+        + [F.col(f"x.{c}").alias(f"_p1_{c}") for c in key_cols]
+        + [F.col(f"y.{c}").alias(f"_p2_{c}") for c in key_cols]
+    )
+    hot_keys = hx.join(
+        hy,
+        (F.col(f"x.{id_col}") == F.col(f"y.{id_col}"))
+        & (F.col(f"x.{key_cols[0]}") < F.col(f"y.{key_cols[0]}")),
+    ).select(*key_sel)
+    pair_key_cols = [f"_p1_{c}" for c in key_cols] + [f"_p2_{c}" for c in key_cols]
+    ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
+    cand_hot = pair_sel(ha.join(hb, eq("a", "b", pair_key_cols) & lt))
+    return cand_small.unionByName(cand_hot), n_hot
+
+
+def _persist(df: DataFrame, storage_level: str):
+    """persist() with a by-name StorageLevel — the shingle-cache knob.
+
+    ``MEMORY_AND_DISK`` (the ``cache()`` default) degrades gracefully, but a
+    corpus-scale run whose distinct-shingle frame is ~10x the corpus should pass
+    ``DISK_ONLY`` and keep executor memory for the joins."""
+    from pyspark import StorageLevel
+
+    if not hasattr(StorageLevel, storage_level):
+        raise ValueError(f"unknown storage_level {storage_level!r}")
+    return df.persist(getattr(StorageLevel, storage_level))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -133,10 +250,10 @@ def minhash_candidate_pairs(
       the verify stage would mostly reject anyway.  Pass ``bucket_cap=None`` for the
       uncapped exact-LSH candidate set.
 
-    The over-cap bucket list is broadcast (map-side anti/semi split, no shuffle of
-    the banded rows); its size is bounded by N * n_bands / bucket_cap rows — raise
-    ``bucket_cap`` proportionally on corpora past ~10^11 docs to keep it in the
-    hundreds of MB.
+    The over-cap bucket list is provably tiny (<= N * n_bands / bucket_cap rows)
+    and handled adaptively by :func:`_capped_self_pairs`: when EMPTY (the common
+    case) the plan is exactly the plain single-band join plus one
+    map-side-combined count — none of the split/pair-key machinery is scheduled.
     """
     n_hashes_col = F.size(F.col("sig"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
@@ -154,63 +271,28 @@ def minhash_candidate_pairs(
         ).alias("band", "bucket"),
     )
     if bucket_cap is None:
-        small = banded
-        cand_hot = None
-    else:
-        # over-cap bucket list via groupBy (map-side partial agg collapses to one
-        # row per DISTINCT bucket before the shuffle — a window over the banded
-        # rows would shuffle+sort every row instead) -> tiny, broadcast to split
-        # the stream with map-side anti/semi joins.  banded is lazily checkpointed:
-        # three consumers (bucket agg + both branches) would otherwise re-evaluate
-        # the band-hash transform — MEASURED at sf0.1: recompute 4.4 s vs
-        # checkpoint 2.8 s for the full near-dup pipeline.
-        banded = banded.localCheckpoint(eager=False)
-        hot_buckets = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > bucket_cap)
-            .select("band", "bucket")
-        )
-        small = banded.join(
-            F.broadcast(hot_buckets), ["band", "bucket"], "left_anti"
-        )
-        hot = banded.join(F.broadcast(hot_buckets), ["band", "bucket"], "left_semi")
-        hx, hy = hot.alias("x"), hot.alias("y")
-        hot_keys = hx.join(
-            hy,
-            (F.col("x.doc_id") == F.col("y.doc_id"))
-            & (F.col("x.band") < F.col("y.band")),
-        ).select(
-            F.col("x.doc_id").alias("doc_id"),
-            F.col("x.band").alias("_b1"),
-            F.col("x.bucket").alias("_k1"),
-            F.col("y.band").alias("_b2"),
-            F.col("y.bucket").alias("_k2"),
-        )
-        ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
-        cand_hot = ha.join(
-            hb,
-            (F.col("a._b1") == F.col("b._b1"))
-            & (F.col("a._k1") == F.col("b._k1"))
-            & (F.col("a._b2") == F.col("b._b2"))
-            & (F.col("a._k2") == F.col("b._k2"))
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    a = small.alias("a")
-    b = small.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    if cand_hot is not None:
-        cand = cand.unionByName(cand_hot)
-    return cand.distinct()
+        return cand.distinct()
+    pairs, _ = _capped_self_pairs(banded, ["band", "bucket"], "doc_id", [], bucket_cap)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    ).distinct()
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, shingle_n: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    shingle_n: int = 8,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs.
 
@@ -249,8 +331,8 @@ def jaccard_pairs(
             F.substring(F.col("_norm"), F.col("_i"), F.lit(shingle_n)).alias("shingle"),
         )
         .distinct()
-        .cache()
     )
+    sh_ex = _persist(sh_ex, storage_level)
     sizes = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ex_a = sh_ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = sh_ex.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -286,19 +368,22 @@ def minhash_near_dups(
     n_bands: int = 8,
     shingle_n: int = 8,
     bucket_cap: int | None = 20_000,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
     Jaccard verify -> pairs over threshold.  ``bucket_cap`` bounds degenerate band
-    buckets (see :func:`minhash_candidate_pairs` for the recall contract)."""
+    buckets (see :func:`minhash_candidate_pairs` for the recall contract);
+    ``storage_level`` is the verify stage's shingle-cache knob (``DISK_ONLY`` for
+    corpus-scale runs — see :func:`_persist`)."""
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).localCheckpoint()
     # cache the (small) candidate-pair set: the verify stage consumes it twice
     # (doc semi-join + pair join)
     cands = minhash_candidate_pairs(sigs, n_bands, bucket_cap=bucket_cap).cache()
-    return jaccard_pairs(df, text_col, id_col, cands, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    return jaccard_pairs(
+        df, text_col, id_col, cands, shingle_n, storage_level=storage_level
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(
@@ -484,9 +569,11 @@ def hamming_pairs(
       blowup a degenerate corpus can cause.
 
     One shuffle on the bucket key; bucket sizes come from a map-side-combined
-    groupBy whose over-cap list is broadcast (no window over the chunk rows), and
-    the pair-key path only activates on data that would otherwise be quadratic.
-    Raises if the requested ``n_chunks`` cannot honor the guarantee.
+    groupBy handled adaptively by :func:`_capped_self_pairs` — when no bucket is
+    hot (the common case for hash-like inputs) the plan is the plain chunk join
+    plus one count, and the pair-key path only activates on data that would
+    otherwise be quadratic.  Raises if the requested ``n_chunks`` cannot honor
+    the guarantee.
     """
     if n_chunks is None:
         n_chunks = max_distance + 2
@@ -513,63 +600,11 @@ def hamming_pairs(
             )
         ).alias("_ci", "_cv"),
     )
-    # over-cap bucket list via groupBy + broadcast split (map-side partial agg
-    # collapses to one row per distinct bucket; a window here would shuffle+sort
-    # every chunk row — same measured win as minhash_candidate_pairs).  chunks is
-    # lazily checkpointed for its three consumers (bucket agg + both branches).
-    chunks = chunks.localCheckpoint(eager=False)
-    hot_buckets = (
-        chunks.groupBy("_ci", "_cv")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > bucket_cap)
-        .select("_ci", "_cv")
-    )
-    small = chunks.join(F.broadcast(hot_buckets), ["_ci", "_cv"], "left_anti")
-    hot = chunks.join(F.broadcast(hot_buckets), ["_ci", "_cv"], "left_semi")
-    a, b = small.alias("a"), small.alias("b")
-    cand_small = a.join(
-        b,
-        (F.col("a._ci") == F.col("b._ci"))
-        & (F.col("a._cv") == F.col("b._cv"))
-        & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.col("a._h").alias("_ha"),
-        F.col("b._h").alias("_hb"),
-    )
-    # chunk-PAIR keys for hot rows: (ci, cj, vi, vj), ci < cj
-    hx, hy = hot.alias("x"), hot.alias("y")
-    hot_keys = hx.join(
-        hy,
-        (F.col("x._id") == F.col("y._id")) & (F.col("x._ci") < F.col("y._ci")),
-    ).select(
-        F.col("x._id").alias("_id"),
-        F.col("x._h").alias("_h"),
-        F.col("x._ci").alias("_ci1"),
-        F.col("x._cv").alias("_cv1"),
-        F.col("y._ci").alias("_ci2"),
-        F.col("y._cv").alias("_cv2"),
-    )
-    ka, kb = hot_keys.alias("a"), hot_keys.alias("b")
-    cand_hot = ka.join(
-        kb,
-        (F.col("a._ci1") == F.col("b._ci1"))
-        & (F.col("a._cv1") == F.col("b._cv1"))
-        & (F.col("a._ci2") == F.col("b._ci2"))
-        & (F.col("a._cv2") == F.col("b._cv2"))
-        & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.col("a._h").alias("_ha"),
-        F.col("b._h").alias("_hb"),
-    )
+    pairs, _ = _capped_self_pairs(chunks, ["_ci", "_cv"], "_id", ["_h"], bucket_cap)
     return (
-        cand_small.unionByName(cand_hot)
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.dropDuplicates(["id_a", "id_b"])
         .select(
-            "id_a", "id_b", hamming_expr(F.col("_ha"), F.col("_hb")).alias("hamming")
+            "id_a", "id_b", hamming_expr(F.col("_h_a"), F.col("_h_b")).alias("hamming")
         )
         .filter(F.col("hamming") <= max_distance)
     )
@@ -630,7 +665,12 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> Dat
 
 
 def ngram_jaccard_pairs_exact(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_n: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_n: int = 8,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """EXACT all-pairs character n-gram Jaccard >= threshold — prefix-filtered
     inverted-index join (PPJoin-style), never the N^2 cross product.
@@ -645,10 +685,12 @@ def ngram_jaccard_pairs_exact(
     stage of MinHash-LSH (the probabilistic pipeline's output is a subset of this
     result by construction).
 
-    The distinct-shingle frame is cached for its consumers (sizes, frequency
-    ranking, and both verify join sides); long-lived sessions issuing many corpora
-    should unpersist via ``spark.catalog.clearCache()`` between batches (the cache
-    is per-call state).
+    The distinct-shingle frame is persisted for its consumers (sizes, frequency
+    ranking, and both verify join sides) at ``storage_level`` — the default
+    MEMORY_AND_DISK degrades gracefully; corpus-scale runs (the shingle frame is
+    ~10x the corpus) should pass ``DISK_ONLY``.  Long-lived sessions issuing many
+    corpora should unpersist via ``spark.catalog.clearCache()`` between batches
+    (the cache is per-call state).
     """
     norm = _spread(
         df.select(
@@ -672,8 +714,8 @@ def ngram_jaccard_pairs_exact(
             F.substring(F.col("_norm"), F.col("_i"), F.lit(shingle_n)).alias("shingle"),
         )
         .distinct()
-        .cache()
     )
+    sh = _persist(sh, storage_level)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, sizes, threshold)
     # verify: intersection over the FULL shingle sets, restricted to candidates

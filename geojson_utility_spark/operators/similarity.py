@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geojson_utility_spark.operators.dedup import _capped_self_pairs
+
 
 def _list_to_matrix(col) -> np.ndarray:
     """Arrow List/FixedSizeList<float> column -> (n, dim) float64 matrix (zero object
@@ -526,56 +528,27 @@ def cosine_near_dups(
                 ["vec_id", "_table", "_sig"],
             )
 
-    banded = v.mapInArrow(
-        sig_kernel, f"vec_id {vid_type}, _table int, _sig long"
-    ).localCheckpoint(eager=False)
-    # hot-bucket split, same shape as minhash_candidate_pairs: groupBy collapses
-    # map-side to one row per distinct (table, sig); the over-cap list broadcasts
-    hot = (
-        banded.groupBy("_table", "_sig")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > bucket_cap)
-        .select("_table", "_sig")
-    )
-    small = banded.join(F.broadcast(hot), ["_table", "_sig"], "left_anti")
-    hot_rows = banded.join(F.broadcast(hot), ["_table", "_sig"], "left_semi")
-    a, b = small.alias("a"), small.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a._table") == F.col("b._table"))
-        & (F.col("a._sig") == F.col("b._sig"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    hx, hy = hot_rows.alias("x"), hot_rows.alias("y")
-    hot_keys = hx.join(
-        hy,
-        (F.col("x.vec_id") == F.col("y.vec_id"))
-        & (F.col("x._table") < F.col("y._table")),
-    ).select(
-        F.col("x.vec_id").alias("vec_id"),
-        F.col("x._table").alias("_t1"), F.col("x._sig").alias("_s1"),
-        F.col("y._table").alias("_t2"), F.col("y._sig").alias("_s2"),
-    )
-    ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
-    cand_hot = ha.join(
-        hb,
-        (F.col("a._t1") == F.col("b._t1")) & (F.col("a._s1") == F.col("b._s1"))
-        & (F.col("a._t2") == F.col("b._t2")) & (F.col("a._s2") == F.col("b._s2"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    cands = cand.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
+    banded = v.mapInArrow(sig_kernel, f"vec_id {vid_type}, _table int, _sig long")
+    # hot-bucket handling is the shared adaptive machinery (see dedup.py
+    # _capped_self_pairs): empty over-cap list -> plain bucket self-join only
+    pairs, _ = _capped_self_pairs(banded, ["_table", "_sig"], "vec_id", [], bucket_cap)
+    cands = pairs.dropDuplicates(["id_a", "id_b"])
     return _verify_cosine_pairs(v, cands, threshold, vid_type)
 
 
 def _training_sample(v: DataFrame, n_train: int) -> np.ndarray:
     """Deterministic hash-spaced quantizer-training sample over (vec_id, _v) —
     every ~N/n_train-th vector by id hash, independent of partition layout
-    (same recipe as ivf_topk's inline sampler)."""
+    (same recipe as ivf_topk's inline sampler).  Rows are sorted by id AFTER
+    collection: k-means init indexes into this matrix, so the ROW ORDER must be
+    partition-independent too, not just the row multiset (collect order follows
+    task completion order on a multi-file scan)."""
     n_total = v.count()
     if n_total == 0:
         return np.empty((0, 0))
     every = max(1, n_total // n_train)
     rows = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(every)) == 0).collect()
+    rows.sort(key=lambda r: r["vec_id"])
     return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
 
 
@@ -687,41 +660,24 @@ def ivf_near_dups(
                 ["vec_id", "_list"],
             )
 
-    assigned = v.mapInArrow(
-        assign_kernel, f"vec_id {vid_type}, _list int"
-    ).localCheckpoint(eager=False)
-    hot = (
-        assigned.groupBy("_list")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > bucket_cap)
-        .select("_list")
-    )
-    small = assigned.join(F.broadcast(hot), ["_list"], "left_anti")
-    hot_rows = assigned.join(F.broadcast(hot), ["_list"], "left_semi")
-    a, b = small.alias("a"), small.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a._list") == F.col("b._list"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    # over-cap lists re-key on PAIRS of the row's over-cap lists (needs n_probe
-    # >= 2 to fire; with one probe an over-cap list's pairs are dropped — raise
-    # n_lists instead of relying on the escape hatch)
-    hx, hy = hot_rows.alias("x"), hot_rows.alias("y")
-    hot_keys = hx.join(
-        hy,
-        (F.col("x.vec_id") == F.col("y.vec_id"))
-        & (F.col("x._list") < F.col("y._list")),
-    ).select(
-        F.col("x.vec_id").alias("vec_id"),
-        F.col("x._list").alias("_l1"),
-        F.col("y._list").alias("_l2"),
-    )
-    ha, hb = hot_keys.alias("a"), hot_keys.alias("b")
-    cand_hot = ha.join(
-        hb,
-        (F.col("a._l1") == F.col("b._l1")) & (F.col("a._l2") == F.col("b._l2"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-    cands = cand.unionByName(cand_hot).dropDuplicates(["id_a", "id_b"])
+    assigned = v.mapInArrow(assign_kernel, f"vec_id {vid_type}, _list int")
+    # over-cap lists re-key on PAIRS of the row's over-cap lists via the shared
+    # adaptive machinery (dedup.py _capped_self_pairs); the pair-key escape hatch
+    # needs n_probe >= 2 to fire — with one probe an over-cap list's pairs are
+    # silently dropped, so WARN loudly in that configuration (n_hot is known
+    # because the adaptive split collects the over-cap list at build time)
+    pairs, n_hot = _capped_self_pairs(assigned, ["_list"], "vec_id", [], bucket_cap)
+    if n_probe == 1 and (n_hot is None or n_hot > 0):
+        import warnings
+
+        warnings.warn(
+            f"ivf_near_dups: {n_hot if n_hot is not None else 'many'} "
+            f"IVF list(s) exceed bucket_cap={bucket_cap} but n_probe=1 — ALL "
+            "pairs whose only shared list is over-cap are dropped (the pair-key "
+            "escape hatch needs n_probe >= 2). Raise n_probe, n_lists, or "
+            "bucket_cap, or collapse the mega-cluster with exact dedup first.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    cands = pairs.dropDuplicates(["id_a", "id_b"])
     return _verify_cosine_pairs(v, cands, threshold, vid_type)

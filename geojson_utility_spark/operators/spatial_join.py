@@ -721,10 +721,17 @@ def explode_multipolygon_parts(polygons: DataFrame) -> DataFrame:
                 try:
                     doc = json.loads(gj)
                     geom = doc["features"][0].get("geometry") or {}
-                    if geom.get("type") == "MultiPolygon":
+                    gtype = geom.get("type")
+                    if gtype == "MultiPolygon":
                         parts = geom["coordinates"]
-                    else:
+                    elif gtype in (None, "Polygon"):
                         parts = [geom["coordinates"]]
+                    else:
+                        # non-polygonal geometry: pass through UNCHANGED so the
+                        # downstream normalize annotates it with the specific
+                        # unsupported-type message (rewrapping as 'Polygon' here
+                        # would masquerade it as a malformed ring instead)
+                        parts = None
                 except Exception:
                     parts = None
                 if not parts:

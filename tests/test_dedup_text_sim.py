@@ -577,3 +577,66 @@ def test_ivf_near_dups_blocking_contract(spark):
             want.add((i, j))
     assert got == want and len(want) > 100
     assert (out["cosine"] >= t).all()
+
+
+def test_ivf_near_dups_nprobe1_hot_list_warns(spark):
+    """A planted mega-cluster overflowing one IVF list with n_probe=1 silently
+    loses every pair whose only shared list is the hot one — the operator must
+    WARN (VERDICT r3 item: the recall loss was only a docstring note)."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from geojson_utility_spark.operators.similarity import ivf_near_dups
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=8)
+    # 300 copies of one direction -> one list holds them all (cap 50 overflows)
+    rows = [(i, (d + rng.normal(size=8) * 0.01).tolist()) for i in range(300)]
+    rows += [(1000 + i, rng.normal(size=8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.warns(RuntimeWarning, match="n_probe=1"):
+        ivf_near_dups(
+            df, threshold=0.99, n_lists=8, n_probe=1,
+            train_size=400, bucket_cap=50,
+        )
+    # n_probe=2: same data, no warning (the pair-key escape hatch can fire)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ivf_near_dups(
+            df, threshold=0.99, n_lists=8, n_probe=2,
+            train_size=400, bucket_cap=50,
+        )
+
+
+def test_shingle_cache_storage_level_knob(spark):
+    """storage_level parameter reaches the distinct-shingle persist (DISK_ONLY
+    for corpus-scale runs) and an unknown name raises; results are identical
+    across levels."""
+    import pytest
+
+    spark.catalog.clearCache()
+    rows = [(i, f"some repeated text body number {i % 7} padded out to shingles")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs_exact(
+        df, "text", "doc_id", threshold=0.8, storage_level="DISK_ONLY"
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    # the persisted shingle frame is disk-only (no in-memory copies)
+    levels = [
+        rdd.storageLevel() for rdd in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert any(lv.useDisk() and not lv.useMemory() for lv in levels), [
+        str(lv) for lv in levels
+    ]
+    spark.catalog.clearCache()
+    want = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs_exact(
+        df, "text", "doc_id", threshold=0.8).collect()}
+    assert got == want and len(want) > 0
+    spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="storage_level"):
+        D.jaccard_pairs(df, "text", "doc_id", df.select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")),
+            storage_level="NOT_A_LEVEL")
