@@ -175,12 +175,20 @@ SHARED_SQL: dict[str, str] = {
         "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
         "WHERE r_name = 'ASIA' GROUP BY n_name"
     ),
-    # W4/topk: row_number per group
-    "window_top3_per_brand": (
-        "SELECT p_brand, p_partkey, p_retailprice FROM ("
+    # W4 topk + W1 top-1-by-timestamp, tag-unioned (both row_number-per-group
+    # probes; merged r4 to free a driver-window slot for dedup_components)
+    "window_rank_probes": (
+        "SELECT 'top3' AS probe, p_brand AS k, p_partkey AS id, "
+        "cast(p_retailprice AS double) AS val FROM ("
         "SELECT p_brand, p_partkey, p_retailprice, "
         "row_number() OVER (PARTITION BY p_brand "
-        "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) t WHERE rn <= 3"
+        "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) t WHERE rn <= 3 "
+        "UNION ALL "
+        "SELECT 'last_order' AS probe, cast(o_custkey AS string) AS k, "
+        "o_orderkey AS id, cast(0.0 AS double) AS val FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
+        "FROM orders) t WHERE rn = 1"
     ),
     # W2 + W2b, tag-unioned: offset pagination page 3 (rows 21-30, global
     # row_number) and keyset pagination (the scale-safe page shape: range
@@ -196,13 +204,6 @@ SHARED_SQL: dict[str, str] = {
         "WHERE o_orderdate < DATE '1997-06-30' "
         "OR (o_orderdate = DATE '1997-06-30' AND o_orderkey > 1000) "
         "ORDER BY o_orderdate DESC, o_orderkey LIMIT 10) k"
-    ),
-    # W1: top-1 by timestamp per customer
-    "window_last_order_per_customer": (
-        "SELECT o_custkey, o_orderkey AS last_orderkey FROM ("
-        "SELECT o_custkey, o_orderkey, row_number() OVER "
-        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
-        "FROM orders) t WHERE rn = 1"
     ),
     # W-running: cumulative sum window
     "window_running_sum": (
@@ -1245,6 +1246,38 @@ def oracle_ngram_jaccard_pairs() -> str:
     return _jaccard_oracle_sql(0.8)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components (min-id cluster representative) —
+    the collapse step a dedup pipeline runs after any pair operator.  Edges are
+    the EXACT ngram-Jaccard pairs (already oracled standalone), so the oracle is
+    a recursive min-label propagation over the same exact pair set."""
+    from geojson_utility_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs_exact,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8)
+    return dedup_components(pairs)
+
+
+def oracle_dedup_components() -> str:
+    """DuckDB recursive CTE: min reachable doc_id over the symmetrized exact
+    ngram-Jaccard pair graph — the fixpoint equals min-label propagation."""
+    j = _jaccard_oracle_sql(0.8)
+    return (
+        f"WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({j}) jj), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, comp) AS ("
+        "SELECT src, src FROM edges "
+        "UNION "
+        "SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node) "
+        "SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node"
+    )
+
+
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
     column — exercises the guaranteed-recall hamming_pairs machinery (the shared
@@ -1829,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "polygon_intersect_join": q_polygon_intersect_join,
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+            "dedup_components": q_dedup_components,
             "hamming_near_dups": q_hamming_near_dups,
             "minhash_near_dups": q_minhash_near_dups,
             "lsh_ann_topk": q_lsh_ann_topk,
@@ -1874,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
             "polygon_intersect_join": oracle_polygon_intersect_join(),
             "validate_locations_full": oracle_validate_locations_full(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
+            "dedup_components": oracle_dedup_components(),
             "hamming_near_dups": oracle_hamming_near_dups(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "lsh_ann_topk": oracle_lsh_ann_topk(),

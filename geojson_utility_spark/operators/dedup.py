@@ -336,8 +336,14 @@ def jaccard_pairs(
     sizes = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ex_a = sh_ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = sh_ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # shuffle_hash hint on the exploded intermediate: Catalyst estimates the
+    # (pairs x shingles) join output from the SMALL pairs side and would plan the
+    # second join as a broadcast of the intermediate — which is |pairs| * |doc|
+    # rows and blows the 8 GiB broadcast hard-limit at corpus scale (measured:
+    # 13.4 GiB attempted at 1M docs / 500k candidate pairs)
     inter = (
         pairs.join(ex_a, "doc_a")
+        .hint("shuffle_hash")
         .join(ex_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -384,6 +390,74 @@ def minhash_near_dups(
     return jaccard_pairs(
         df, text_col, id_col, cands, shingle_n, storage_level=storage_level
     ).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph -> (doc_id, component)
+    where ``component`` is the MINIMUM id reachable from the node — the cluster
+    representative a dedup pipeline keeps.
+
+    This is the missing last step after any pair operator (minhash / simhash /
+    cosine / ivf near-dups): a mega-cluster of k near-identical docs has k^2/2
+    pairs but only ONE representative — collapsing pairs to components turns the
+    quadratic pair list into a linear keep/drop decision.
+
+    Physical shape: min-label propagation over symmetrized edges — per round ONE
+    shuffle (groupBy node over label messages), labels localCheckpoint'ed each
+    round (an (id, component) pair per node, the same ids-only diet as the kNN
+    escalation loop — never a wide table), early exit via a per-round count of
+    changed labels.  Rounds needed = graph diameter; near-dup clusters are
+    clique-ish (diameter 1-3).  For adversarially long chain graphs at extreme
+    scale, swap in alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce") — same join/agg primitives, O(log n) rounds;
+    raises after ``max_iter`` rounds rather than looping forever.
+
+    Output covers every node that appears in a pair (singletons never enter the
+    pair list and need no dedup decision).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), "component")
+    raise RuntimeError(
+        f"dedup_components did not converge in {max_iter} rounds — graph "
+        "diameter exceeds the bound; use a larger max_iter or a star-contraction "
+        "variant for pathological chain graphs"
+    )
 
 
 def simhash64(
@@ -719,10 +793,13 @@ def ngram_jaccard_pairs_exact(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, sizes, threshold)
     # verify: intersection over the FULL shingle sets, restricted to candidates
+    # (shuffle_hash hint: same exploded-intermediate broadcast trap as
+    # jaccard_pairs — see the comment there)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(a, "doc_a")
+        .hint("shuffle_hash")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))

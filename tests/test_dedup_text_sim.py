@@ -640,3 +640,39 @@ def test_shingle_cache_storage_level_knob(spark):
         D.jaccard_pairs(df, "text", "doc_id", df.select(
             F.col("doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b")),
             storage_level="NOT_A_LEVEL")
+
+
+def test_dedup_components_matches_union_find(spark):
+    """Connected components over a random pair graph == python union-find
+    (min-id representative), including multi-hop chains; empty input yields an
+    empty typed frame."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # random sparse graph + a deliberate long chain (diameter ~12)
+    edges = {tuple(sorted(p)) for p in rng.integers(0, 120, size=(80, 2)) if p[0] != p[1]}
+    edges |= {(1000 + i, 1001 + i) for i in range(12)}
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in sorted(edges)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in D.dedup_components(pairs).collect()
+    }
+    # union-find oracle
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+    assert (1012, 1000) in got  # chain fully collapsed to its min id
+    empty = D.dedup_components(pairs.filter(F.lit(False)))
+    assert empty.count() == 0 and empty.columns == ["doc_id", "component"]
