@@ -1419,7 +1419,14 @@ def oracle_ivf_ann_topk() -> str:
     numpy-BLAS vs DuckDB summation order could flip an assignment or rank only
     within ULPs, and the data sits far from every knife edge — min 1st-to-2nd
     centroid d2 gap 1.25e-4, min probe-4-vs-5 cosine gap 1.5e-2, min adjacent
-    top-10 cosine gap 1.0e-3 (~11 orders above summation noise)."""
+    top-10 cosine gap 1.0e-3 (~11 orders above summation noise; re-measured by
+    tests/test_entry.py::test_fixture_oracle_margins each run).
+
+    KNOWN COUPLING: this is the one DATA-coupled oracle — running the Spark
+    entry at a different sf than this builder read (without setting
+    SPARK_GRAFT_ORACLE_SF to match) embeds centroids from the wrong corpus and
+    hash-mismatches with no sf-mismatch error.  The driver contract fixes both
+    sides at sf0.01."""
     import os
 
     import numpy as np
@@ -1444,7 +1451,7 @@ def oracle_ivf_ann_topk() -> str:
         raise ValueError("oracle_ivf_ann_topk assumes N <= 10k (every == 1)")
     cents = _kmeans_fit(mat, n_lists, 10, seed)
     cent_vals = ", ".join(
-        f"({c}, [{','.join(repr(x) for x in cents[c])}]::DOUBLE[])"
+        f"({c}, [{','.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
         for c in range(len(cents))
     )
     d2 = (
@@ -1577,7 +1584,7 @@ def oracle_ivf_near_dups() -> str:
         for i, v in zip(pdf["vec_id"], pdf["embedding"])
     )
     cent_vals = ", ".join(
-        f"({c}, [{','.join(repr(x) for x in cents[c])}]::DOUBLE[])"
+        f"({c}, [{','.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])"
         for c in range(len(cents))
     )
     d2 = (

@@ -68,6 +68,11 @@ def _capped_self_pairs(
     Recall contract for capped buckets is unchanged from r3 and documented at
     each caller: a pair whose ONLY agreement is a single over-cap bucket is not
     a candidate.
+
+    NOTE: the collect makes the capped operators EAGER — the banding scan +
+    bucket count run at call time, not first action (the price of adaptive
+    planning; the uncapped ``bucket_cap=None`` paths stay fully lazy).  Errors
+    in the input surface at the operator call site accordingly.
     """
     spark = banded.sparkSession
     # lazy checkpoint: the bucket-count job materializes it; the join branches
@@ -420,7 +425,6 @@ def dedup_components(
     Output covers every node that appears in a pair (singletons never enter the
     pair list and need no dedup decision).
     """
-    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -450,8 +454,12 @@ def dedup_components(
             .filter(F.col("component") != F.col("_old"))
             .count()
         )
+        # the superseded round's checkpoint is dead once `changed` is computed —
+        # unpersist it or a high-diameter graph pins one label-set copy per round
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            edges.unpersist()
             return labels.select(F.col("node").alias("doc_id"), "component")
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds — graph "

@@ -76,3 +76,63 @@ def test_driver_window_contract():
     first_rows_only = min(names.index(n) for n in rows_only)
     last_oracled = max(names.index(n) for n in ORACLES)
     assert last_oracled < first_rows_only, "rows-only entries must register last"
+
+
+def test_fixture_oracle_margins():
+    """The embedded-literal oracles (cosine_near_dups, ivf_near_dups,
+    ivf_ann_topk) are deterministic only because the data sits far from every
+    float knife edge — BLAS-vs-SQL summation order differs by ULPs, so a plane
+    dot near 0, a pair cosine near the threshold, or a near-tied centroid
+    assignment could flip between engines.  Pin the measured margins so a
+    fixture/seed/RNG-stream change that lands near a knife edge fails HERE,
+    not as a flaky driver hash mismatch."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.similarity import (
+        _hyperplanes,
+        _kmeans_fit,
+    )
+
+    # cosine_near_dups fixture: t=0.8, 8 bits x 8 tables, seed 42 (entry params)
+    pdf = FX.make_neardup_embeddings()
+    m = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    planes = np.concatenate(
+        [np.asarray(_hyperplanes(m.shape[1], 8, 42 + t)) for t in range(8)]
+    )
+    assert np.abs(m @ planes.T).min() > 1e-6          # sign-bit stability
+    norms = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norms, norms)
+    pc = cos[np.triu_indices(len(m), 1)]
+    assert np.abs(pc - 0.8).min() > 1e-6              # verify-threshold margin
+    assert (pc >= 0.8).sum() >= 10                    # probe is non-trivial
+
+    # ivf_near_dups fixture: 8 lists, n_probe=2, seed 42 (entry params)
+    pdf2 = FX.make_clustered_embeddings()
+    mb = np.asarray(list(pdf2["embedding"]), dtype=np.float64)
+    cents = _kmeans_fit(mb, 8, 10, 42)
+    d2 = ((mb * mb).sum(1)[:, None] - 2.0 * (mb @ cents.T)
+          + (cents * cents).sum(1)[None, :])
+    s = np.sort(d2, axis=1)
+    assert (s[:, 2] - s[:, 1]).min() > 1e-6           # probe-2 set stability
+    nb = np.linalg.norm(mb, axis=1)
+    pcb = ((mb @ mb.T) / np.outer(nb, nb))[np.triu_indices(len(mb), 1)]
+    assert np.abs(pcb - 0.8).min() > 1e-6
+
+    # ivf_ann_topk on the REAL sf0.01 embeddings: 16 lists, n_probe=4, k=5
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist())
+    mr = np.asarray([list(v) for v in tbl.column("embedding").to_pylist()],
+                    dtype=np.float64)[np.argsort(ids)]
+    cr = _kmeans_fit(mr, 16, 10, 42)
+    d2r = ((mr * mr).sum(1)[:, None] - 2.0 * (mr @ cr.T)
+           + (cr * cr).sum(1)[None, :])
+    sr = np.sort(d2r, axis=1)
+    assert (sr[:, 1] - sr[:, 0]).min() > 1e-6         # assignment stability
+    q = mr[np.sort(ids) < 5]
+    qc = (q @ cr.T) / np.outer(np.linalg.norm(q, axis=1),
+                               np.linalg.norm(cr, axis=1))
+    sq = np.sort(qc, axis=1)[:, ::-1]
+    assert (sq[:, 3] - sq[:, 4]).min() > 1e-6         # probe-4 set stability
