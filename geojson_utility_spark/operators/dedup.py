@@ -341,11 +341,14 @@ def jaccard_pairs(
     sizes = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ex_a = sh_ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = sh_ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # shuffle_hash hint on the exploded intermediate: Catalyst estimates the
-    # (pairs x shingles) join output from the SMALL pairs side and would plan the
-    # second join as a broadcast of the intermediate — which is |pairs| * |doc|
-    # rows and blows the 8 GiB broadcast hard-limit at corpus scale (measured:
-    # 13.4 GiB attempted at 1M docs / 500k candidate pairs)
+    # shuffle_hash hint on the exploded (pairs x shingles) intermediate:
+    # Catalyst sizes it from the SMALL pairs side and statically plans the
+    # second join as a broadcast of the intermediate — |pairs| * |doc| rows,
+    # measured 13.4 GiB attempted at 1M docs vs the 8 GiB hard limit.  The hint
+    # was measured at BOTH scales: toy-scale cost is in the noise band
+    # (probe-normalized 1.18 vs 1.18 unhinted at sf0.1) and the 1M-doc pipeline
+    # completes in 72.7 s.  Per-partition build maps assume the cluster sizes
+    # shuffle partitions to fit executor memory (standard Spark contract).
     inter = (
         pairs.join(ex_a, "doc_a")
         .hint("shuffle_hash")
@@ -725,12 +728,20 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     blowup never happens; the ε guard on the ceil keeps float t·|X| from rounding
     the required overlap UP (a longer prefix is always complete).
     """
+    # sort-merge hints throughout (measured at 1M docs): freq has one row per
+    # DISTINCT CORPUS SHINGLE (~10x doc count) and its statically-planned
+    # broadcast exhausted the driver ("Not enough memory to build and
+    # broadcast"); a shuffle_hash variant OOM'd on 32 concurrent multi-million-
+    # entry build maps (256 MB array resizes).  SMJ spills gracefully and the
+    # full exact pipeline completes at 1M docs in 486 s with ZERO recall loss.
+    # This operator is not on the driver bench path, so the toy-scale sort cost
+    # is irrelevant; correctness-at-scale wins.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
     ranked = (
-        sh.join(freq, "shingle")
+        sh.join(freq.hint("merge"), "shingle")
         .withColumn("_rn", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .join(sizes.hint("merge"), "doc_id")
     )
     alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
@@ -739,7 +750,7 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
     return (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -801,13 +812,14 @@ def ngram_jaccard_pairs_exact(
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, sizes, threshold)
     # verify: intersection over the FULL shingle sets, restricted to candidates
-    # (shuffle_hash hint: same exploded-intermediate broadcast trap as
-    # jaccard_pairs — see the comment there)
+    # (merge hints: Catalyst statically broadcast the corpus shingle frame `a`
+    # here at 1M docs — same estimate trap as jaccard_pairs; not on the bench
+    # path, so SMJ everywhere)
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cand.join(a, "doc_a")
-        .hint("shuffle_hash")
+        cand.join(a.hint("merge"), "doc_a")
+        .hint("merge")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -815,8 +827,8 @@ def ngram_jaccard_pairs_exact(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -560,11 +560,13 @@ def _verify_cosine_pairs(
     vectorized kernel, keep finite cosines >= threshold (exact precision)."""
     ea = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
     eb = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
-    # shuffle_hash hint: Catalyst sizes the (cands x vectors) intermediate from
-    # the pair list and would broadcast it — but it carries a full vector per
-    # row and blows the 8 GiB broadcast limit at corpus scale (same trap as
-    # dedup.jaccard_pairs, measured there)
-    paired = cands.join(ea, "id_a").hint("shuffle_hash").join(eb, "id_b")
+    # merge hint on the second attach: Catalyst sizes the (cands x vectors)
+    # intermediate from the pair list and would statically broadcast it — but
+    # it carries a full vector per row and blows the 8 GiB broadcast limit at
+    # corpus scale (same trap as dedup.jaccard_pairs, measured there).  The
+    # FIRST join is left to Catalyst: broadcasting the bare pair list is
+    # correct whenever it fits (measured good at 1M vectors).
+    paired = cands.join(ea, "id_a").hint("merge").join(eb, "id_b")
 
     def verify_kernel(it):
         import pyarrow as pa

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE on broadcast policy (r4, measured): a global
+        # autoBroadcastJoinThreshold=-1 + adaptive-threshold-only policy was
+        # tried and reverted — it is the "never trust estimates" ideal, but the
+        # extra shuffle boundaries cost ~10% across the bench suite at sandbox
+        # scale.  Instead the dedup/similarity verify pipelines carry TARGETED
+        # join hints at the three sites where Catalyst's static estimates were
+        # measured to plan catastrophic broadcasts (see dedup.py comments).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -23,6 +23,10 @@ Three measurements, each printed as one JSON line:
    doc i and doc i+500000 share a body and differ by a suffix (500k true
    near-dup pairs).  Wall time + output.
 
+4. ngram_1m — full EXACT ngram_jaccard_pairs_exact (PPJoin prefix filter) over
+   the same 1M-doc corpus as (3): exactness at scale has no LSH misses, so
+   result_pairs must equal true_pairs exactly.
+
 Run: python scripts/neardup_scale_bench.py [steps]   e.g. "1,2" (default all)
 """
 
@@ -106,9 +110,8 @@ def main():
             "planted_pairs": n_pairs, "result_pairs": out, "sec": round(dt, 2),
         }), flush=True)
 
-    if "3" in steps:
-        n, half = 1_000_000, 500_000
-        docs = spark.range(0, n, 1, int(CPUS) * 4).select(
+    def synth_docs(n, half):
+        return spark.range(0, n, 1, int(CPUS) * 4).select(
             F.col("id").alias("doc_id"),
             F.concat(
                 F.md5(F.pmod(F.col("id"), half).cast("string")),
@@ -118,12 +121,30 @@ def main():
                 F.when(F.col("id") < half, F.lit(" alpha")).otherwise(F.lit(" beta")),
             ).alias("text"),
         ).localCheckpoint()
+
+    if "3" in steps:
+        n, half = 1_000_000, 500_000
+        docs = synth_docs(n, half)
         t0 = time.perf_counter()
         out = minhash_near_dups(docs, "text", "doc_id", threshold=0.8,
                                 storage_level="DISK_ONLY").count()
         dt = time.perf_counter() - t0
         print(json.dumps({
             "bench": "minhash_1m", "n_docs": n, "true_pairs": half,
+            "result_pairs": out, "sec": round(dt, 2),
+        }), flush=True)
+
+    if "4" in steps:
+        from geojson_utility_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+        n, half = 1_000_000, 500_000
+        docs = synth_docs(n, half)
+        t0 = time.perf_counter()
+        out = ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8,
+                                        storage_level="DISK_ONLY").count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "bench": "ngram_1m", "n_docs": n, "true_pairs": half,
             "result_pairs": out, "sec": round(dt, 2),
         }), flush=True)
 
