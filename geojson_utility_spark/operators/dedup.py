@@ -38,6 +38,7 @@ def _capped_self_pairs(
     id_col: str,
     carry: list[str],
     bucket_cap: int,
+    n_ids: int | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Bucket-cap candidate machinery shared by every capped blocking operator
     (minhash bands, hamming chunks, sign-LSH tables, IVF lists).
@@ -73,6 +74,13 @@ def _capped_self_pairs(
     bucket count run at call time, not first action (the price of adaptive
     planning; the uncapped ``bucket_cap=None`` paths stay fully lazy).  Errors
     in the input surface at the operator call site accordingly.
+
+    ``n_ids``: pass the distinct-id count when the caller knows it cheaply
+    (checkpointed frame, a count already paid for training).  Every caller
+    emits AT MOST ONE row per (id, bucket), so bucket membership is bounded by
+    the id count — ``n_ids <= bucket_cap`` PROVES no bucket can be hot and the
+    count job itself is skipped (identical output, zero cap overhead, stays
+    lazy).
     """
     spark = banded.sparkSession
     # lazy checkpoint: the bucket-count job materializes it; the join branches
@@ -95,6 +103,9 @@ def _capped_self_pairs(
         return reduce(and_, [F.col(f"{x}.{c}") == F.col(f"{y}.{c}") for c in cols])
 
     lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if n_ids is not None and n_ids <= bucket_cap:
+        a, b = banded.alias("a"), banded.alias("b")
+        return pair_sel(a.join(b, eq("a", "b", key_cols) & lt)), 0
     hot_agg = (
         banded.groupBy(*key_cols)
         .agg(F.count("*").alias("_n"))
@@ -231,7 +242,10 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 8, bucket_cap: int | None = 20_000
+    signatures: DataFrame,
+    n_bands: int = 8,
+    bucket_cap: int | None = 20_000,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into bands, bucket-join on (band, band-hash).
 
@@ -259,6 +273,12 @@ def minhash_candidate_pairs(
     and handled adaptively by :func:`_capped_self_pairs`: when EMPTY (the common
     case) the plan is exactly the plain single-band join plus one
     map-side-combined count — none of the split/pair-key machinery is scheduled.
+
+    ``n_docs``: pass the signature-frame row count when it is cheap to know
+    (e.g. the frame is checkpointed).  Each doc contributes EXACTLY ONE bucket
+    row per band, so a bucket's membership is bounded by n_docs —
+    ``n_docs <= bucket_cap`` PROVES no bucket can be hot and even the bucket
+    count is skipped (identical output, zero cap overhead).
     """
     n_hashes_col = F.size(F.col("sig"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
@@ -285,7 +305,9 @@ def minhash_candidate_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         return cand.distinct()
-    pairs, _ = _capped_self_pairs(banded, ["band", "bucket"], "doc_id", [], bucket_cap)
+    pairs, _ = _capped_self_pairs(
+        banded, ["band", "bucket"], "doc_id", [], bucket_cap, n_ids=n_docs
+    )
     return pairs.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     ).distinct()
@@ -392,9 +414,14 @@ def minhash_near_dups(
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).localCheckpoint()
+    # the count is near-free on the checkpointed frame and lets the banding skip
+    # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot)
+    n_docs = sigs.count()
     # cache the (small) candidate-pair set: the verify stage consumes it twice
     # (doc semi-join + pair join)
-    cands = minhash_candidate_pairs(sigs, n_bands, bucket_cap=bucket_cap).cache()
+    cands = minhash_candidate_pairs(
+        sigs, n_bands, bucket_cap=bucket_cap, n_docs=n_docs
+    ).cache()
     return jaccard_pairs(
         df, text_col, id_col, cands, shingle_n, storage_level=storage_level
     ).filter(F.col("jaccard") >= threshold)

@@ -214,7 +214,7 @@ def ivf_topk(
     if len(qids) == 0:
         return _empty_topk(vectors, queries, id_col, query_id_col)
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    train = _training_sample(v, n_train)
+    train, _ = _training_sample(v, n_train)
     if len(train) == 0:
         return _empty_topk(vectors, queries, id_col, query_id_col)
     cents = _kmeans_fit(train, n_lists, n_iter, seed)
@@ -536,20 +536,22 @@ def cosine_near_dups(
     return _verify_cosine_pairs(v, cands, threshold, vid_type)
 
 
-def _training_sample(v: DataFrame, n_train: int) -> np.ndarray:
+def _training_sample(v: DataFrame, n_train: int) -> tuple[np.ndarray, int]:
     """Deterministic hash-spaced quantizer-training sample over (vec_id, _v) —
     every ~N/n_train-th vector by id hash, independent of partition layout
     (same recipe as ivf_topk's inline sampler).  Rows are sorted by id AFTER
     collection: k-means init indexes into this matrix, so the ROW ORDER must be
     partition-independent too, not just the row multiset (collect order follows
-    task completion order on a multi-file scan)."""
+    task completion order on a multi-file scan).  Returns (sample, n_total) —
+    the already-paid total count is free information callers reuse (e.g. the
+    no-hot-list-possible proof in ivf_near_dups)."""
     n_total = v.count()
     if n_total == 0:
-        return np.empty((0, 0))
+        return np.empty((0, 0)), 0
     every = max(1, n_total // n_train)
     rows = v.filter(F.pmod(F.xxhash64("vec_id"), F.lit(every)) == 0).collect()
     rows.sort(key=lambda r: r["vec_id"])
-    return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+    return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64), n_total
 
 
 def _verify_cosine_pairs(
@@ -635,7 +637,7 @@ def ivf_near_dups(
     spark = vectors.sparkSession
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     vid_type = dict(v.dtypes)["vec_id"]
-    train = _training_sample(v, train_size)
+    train, n_total = _training_sample(v, train_size)
     if len(train) == 0:
         return spark.createDataFrame(
             [], f"id_a {vid_type}, id_b {vid_type}, cosine double"
@@ -672,7 +674,9 @@ def ivf_near_dups(
     # needs n_probe >= 2 to fire — with one probe an over-cap list's pairs are
     # silently dropped, so WARN loudly in that configuration (n_hot is known
     # because the adaptive split collects the over-cap list at build time)
-    pairs, n_hot = _capped_self_pairs(assigned, ["_list"], "vec_id", [], bucket_cap)
+    pairs, n_hot = _capped_self_pairs(
+        assigned, ["_list"], "vec_id", [], bucket_cap, n_ids=n_total
+    )
     if n_probe == 1 and (n_hot is None or n_hot > 0):
         import warnings
 

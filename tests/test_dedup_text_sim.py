@@ -676,3 +676,38 @@ def test_dedup_components_matches_union_find(spark):
     assert (1012, 1000) in got  # chain fully collapsed to its min id
     empty = D.dedup_components(pairs.filter(F.lit(False)))
     assert empty.count() == 0 and empty.columns == ["doc_id", "component"]
+
+
+def test_capped_pairs_n_ids_skip_identical(spark):
+    """n_ids <= bucket_cap proves no bucket can be hot (one row per id per
+    bucket), so the skip path must return EXACTLY the plain-LSH candidate set —
+    and ivf_near_dups must not warn when the proof applies."""
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    sigs = spark.createDataFrame(
+        [(i, rng.integers(-(2**40), 2**40, size=16).tolist()) for i in range(120)],
+        "doc_id long, sig array<long>",
+    )
+    skip = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=500, n_docs=120)
+    full = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=500)
+    uncapped = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=None)
+    s = {(r["doc_a"], r["doc_b"]) for r in skip.collect()}
+    f = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    assert s == f == u
+    # skip path stays lazy: no bucket-count job scheduled (can't observe jobs
+    # directly here; the equivalence above is the correctness pin)
+    from geojson_utility_spark.operators.similarity import ivf_near_dups
+
+    d = rng.normal(size=8)
+    rows = [(i, (d + rng.normal(size=8) * 0.01).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        # n_total=300 <= bucket_cap=300: proof applies, no hot list possible,
+        # no warning even at n_probe=1
+        ivf_near_dups(df, threshold=0.99, n_lists=8, n_probe=1,
+                      train_size=400, bucket_cap=300)
