@@ -37,7 +37,7 @@ def _capped_self_pairs(
     key_cols: list[str],
     id_col: str,
     carry: list[str],
-    bucket_cap: int,
+    bucket_cap: int | None,
     n_ids: int | None = None,
 ) -> tuple[DataFrame, int | None]:
     """Bucket-cap candidate machinery shared by every capped blocking operator
@@ -103,16 +103,17 @@ def _capped_self_pairs(
         return reduce(and_, [F.col(f"{x}.{c}") == F.col(f"{y}.{c}") for c in cols])
 
     lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if n_ids is not None and n_ids <= bucket_cap:
-        a, b = banded.alias("a"), banded.alias("b")
-        return pair_sel(a.join(b, eq("a", "b", key_cols) & lt)), 0
-    hot_agg = (
-        banded.groupBy(*key_cols)
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") > bucket_cap)
-        .select(*key_cols)
-    )
-    collected = hot_agg.limit(_HOT_COLLECT_MAX + 1).collect()
+    if bucket_cap is None or (n_ids is not None and n_ids <= bucket_cap):
+        # uncapped, or the id count proves no bucket can be hot: no count job
+        collected, hot_agg = [], None
+    else:
+        hot_agg = (
+            banded.groupBy(*key_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select(*key_cols)
+        )
+        collected = hot_agg.limit(_HOT_COLLECT_MAX + 1).collect()
     if not collected:
         a, b = banded.alias("a"), banded.alias("b")
         return pair_sel(a.join(b, eq("a", "b", key_cols) & lt)), 0
@@ -415,8 +416,9 @@ def minhash_near_dups(
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).localCheckpoint()
     # the count is near-free on the checkpointed frame and lets the banding skip
-    # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot)
-    n_docs = sigs.count()
+    # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot);
+    # not needed at all in the uncapped mode
+    n_docs = sigs.count() if bucket_cap is not None else None
     # cache the (small) candidate-pair set: the verify stage consumes it twice
     # (doc semi-join + pair join)
     cands = minhash_candidate_pairs(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Adversarial-scale bench for the capped near-dup operators (VERDICT r3 item 6).
 
-Three measurements, each printed as one JSON line:
+Four measurements, each printed as one JSON line:
 
 1. minhash_cap_bound — 1M synthetic signatures with a PLANTED 30k-member band-0
    bucket whose members are otherwise random (mutual jaccard ~0): the exact
@@ -43,7 +43,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def main():
-    steps = set((sys.argv[1] if len(sys.argv) > 1 else "1,2,3").split(","))
+    steps = set((sys.argv[1] if len(sys.argv) > 1 else "1,2,3,4").split(","))
     from pyspark.sql import functions as F
 
     from geojson_utility_spark.operators.dedup import (

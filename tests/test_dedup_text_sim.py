@@ -687,10 +687,13 @@ def test_capped_pairs_n_ids_skip_identical(spark):
     import numpy as np
 
     rng = np.random.default_rng(5)
-    sigs = spark.createDataFrame(
-        [(i, rng.integers(-(2**40), 2**40, size=16).tolist()) for i in range(120)],
-        "doc_id long, sig array<long>",
-    )
+    base = [rng.integers(-(2**40), 2**40, size=16).tolist() for _ in range(100)]
+    # ids 100-119 DUPLICATE ids 0-19's signatures -> every band collides ->
+    # the expected candidate sets are NON-empty (a trivially-empty comparison
+    # would pass even with a broken join)
+    rows = [(i, s) for i, s in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(20)]
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<long>")
     skip = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=500, n_docs=120)
     full = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=500)
     uncapped = D.minhash_candidate_pairs(sigs, n_bands=4, bucket_cap=None)
@@ -698,6 +701,7 @@ def test_capped_pairs_n_ids_skip_identical(spark):
     f = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
     u = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     assert s == f == u
+    assert {(i, 100 + i) for i in range(20)} <= s
     # skip path stays lazy: no bucket-count job scheduled (can't observe jobs
     # directly here; the equivalence above is the correctness pin)
     from geojson_utility_spark.operators.similarity import ivf_near_dups
@@ -711,3 +715,11 @@ def test_capped_pairs_n_ids_skip_identical(spark):
         # no warning even at n_probe=1
         ivf_near_dups(df, threshold=0.99, n_lists=8, n_probe=1,
                       train_size=400, bucket_cap=300)
+        # bucket_cap=None (explicit uncapped mode) must not TypeError against
+        # the int n_total (regression: `300 <= None`) and must produce the
+        # within-list pairs (k-means SPLITS the tight cluster across its 8
+        # lists, so the blocking contract yields sub-cluster pairs, not the
+        # full clique)
+        n = ivf_near_dups(df, threshold=0.99, n_lists=8, n_probe=1,
+                          train_size=400, bucket_cap=None).count()
+    assert n > 1000
