@@ -776,10 +776,19 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
         "doc_id", "shingle"
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # the self-join keys on xxhash64(shingle), not the string: sorting/shuffling
+    # 8-byte longs beats 8-char strings, and a hash COLLISION only ADDS a
+    # candidate pair (join on hash ⊇ join on string) — completeness is
+    # preserved and the exact verify stage rejects any impostor, so the
+    # operator's exactness contract is untouched
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("_sh")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("_sh")
+    )
     return (
-        a.join(b.hint("merge"), "shingle")
+        a.join(b.hint("merge"), "_sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
