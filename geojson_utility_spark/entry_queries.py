@@ -1497,7 +1497,11 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.similarity import cosine_near_dups
 
-    vecs = spark.createDataFrame(FX.make_neardup_embeddings())
+    # Explicit schema: the driver's session is Arrow-less, and the non-Arrow
+    # fallback cannot infer list<np.float64> columns (r4 regression root cause).
+    vecs = spark.createDataFrame(
+        FX.make_neardup_embeddings(), schema="vec_id long, embedding array<double>"
+    )
     return cosine_near_dups(vecs, threshold=0.8, n_bits=8, n_tables=8).select(
         "id_a", "id_b"
     )
@@ -1558,7 +1562,10 @@ def q_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.similarity import ivf_near_dups
 
-    vecs = spark.createDataFrame(FX.make_clustered_embeddings())
+    # Explicit schema — same non-Arrow-session safety as q_cosine_near_dups.
+    vecs = spark.createDataFrame(
+        FX.make_clustered_embeddings(), schema="vec_id long, embedding array<double>"
+    )
     return ivf_near_dups(
         vecs, threshold=0.8, n_lists=8, n_probe=2, train_size=1000, seed=42
     ).select("id_a", "id_b")

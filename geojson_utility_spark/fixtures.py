@@ -332,7 +332,15 @@ def make_neardup_embeddings(
     eps = np.linspace(0.05, 0.9, n_planted)
     for i in range(n_planted):
         m[n - 1 - i] = m[i] + eps[i] * rng.normal(size=dim)
-    return pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(r) for r in m]})
+    # Pure-Python floats: the driver's session has no Arrow conf, and the
+    # non-Arrow createDataFrame fallback cannot infer np.float64-in-list
+    # (CANNOT_INFER_TYPE_FOR_FIELD — the round-4 regression).
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n),
+            "embedding": [[float(x) for x in r] for r in m],
+        }
+    )
 
 
 def make_clustered_embeddings(
@@ -354,8 +362,13 @@ def make_clustered_embeddings(
     for c in centers:
         for _ in range(per_cluster):
             rows.append(c + rng.normal(size=dim) * 0.4)
+    # Pure-Python floats for non-Arrow createDataFrame inference (see
+    # make_neardup_embeddings).
     return pd.DataFrame(
-        {"vec_id": np.arange(len(rows)), "embedding": [list(r) for r in rows]}
+        {
+            "vec_id": np.arange(len(rows)),
+            "embedding": [[float(x) for x in r] for r in rows],
+        }
     )
 
 
