@@ -184,6 +184,10 @@ def main():
                 "flagship_input_points": n_points,
                 "flagship_matches": join_rows,
                 "cpu_probe_sec": round(probe_best, 3),
+                # host-noise-normalized headline: total / cpu_probe — the number
+                # to compare across rounds (the VM has multi-hour ~1.8x slow
+                # phases that scale probe and queries together)
+                "value_normalized": round(total / probe_best, 3),
                 "sf": SF_DIR,
                 "cpus": CPUS,
             }

@@ -1424,9 +1424,11 @@ def oracle_ivf_ann_topk() -> str:
 
     KNOWN COUPLING: this is the one DATA-coupled oracle — running the Spark
     entry at a different sf than this builder read (without setting
-    SPARK_GRAFT_ORACLE_SF to match) embeds centroids from the wrong corpus and
-    hash-mismatches with no sf-mismatch error.  The driver contract fixes both
-    sides at sf0.01."""
+    SPARK_GRAFT_ORACLE_SF to match) would embed centroids from the wrong
+    corpus.  The SQL therefore carries a corpus-fingerprint guard (row count +
+    min/max vec_id of the parquet this builder read, asserted via error()) so
+    an sf mismatch fails LOUDLY at oracle execution instead of as a silent
+    hash-red.  The driver contract fixes both sides at sf0.01."""
     import os
 
     import numpy as np
@@ -1467,9 +1469,27 @@ def oracle_ivf_ann_topk() -> str:
         "list_dot_product(ev.v, qv.v) / "
         "(sqrt(list_dot_product(ev.v, ev.v)) * sqrt(list_dot_product(qv.v, qv.v)))"
     )
+    fp_n, fp_min, fp_max = len(mat), int(ids.min()), int(ids.max())
+    # count/min/max alone cannot tell sf0.001 from sf0.01 (both 500 rows,
+    # ids 0..499) — add a value-derived integer: rows whose first component is
+    # positive (min |component| ~2e-4 across SFs, no sign knife edge)
+    fp_pos = int((mat[:, 0] > 0).sum())
+    guard = (
+        "guard AS (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM emb) <> {fp_n} "
+        f"OR (SELECT min(vec_id) FROM emb) <> {fp_min} "
+        f"OR (SELECT max(vec_id) FROM emb) <> {fp_max} "
+        f"OR (SELECT count(*) FROM emb WHERE v[1] > 0) <> {fp_pos} "
+        "THEN error('oracle_ivf_ann_topk corpus fingerprint mismatch: oracle "
+        f"centroids were built from {sf_dir} ({fp_n} rows, vec_id "
+        f"{fp_min}..{fp_max}) but the compared corpus differs — set "
+        "SPARK_GRAFT_ORACLE_SF to the sf the entry runs at') "
+        "ELSE 1 END AS ok)"
+    )
     return (
         "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
         f"cents(list_id, cv) AS (VALUES {cent_vals}), "
+        f"{guard}, "
         "assigned AS (SELECT vec_id, list_id FROM ("
         "SELECT e.vec_id, c.list_id, row_number() OVER ("
         f"PARTITION BY e.vec_id ORDER BY {d2}, c.list_id) AS rn "
@@ -1485,7 +1505,8 @@ def oracle_ivf_ann_topk() -> str:
         f"PARTITION BY cand.query_id ORDER BY {cos} DESC, cand.vec_id) AS rank "
         "FROM cand JOIN emb ev ON ev.vec_id = cand.vec_id "
         "JOIN emb qv ON qv.vec_id = cand.query_id) "
-        f"SELECT query_id, vec_id, rank FROM scored WHERE rank <= {k}"
+        "SELECT query_id, vec_id, rank FROM scored JOIN guard ON guard.ok = 1 "
+        f"WHERE rank <= {k}"
     )
 
 

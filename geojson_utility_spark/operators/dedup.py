@@ -471,28 +471,40 @@ def dedup_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
-        msgs = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "component")
-        new_labels = (
-            msgs.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
-        # the superseded round's checkpoint is dead once `changed` is computed —
-        # unpersist it or a high-diameter graph pins one label-set copy per round
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels.select(F.col("node").alias("doc_id"), "component")
+    converged = False
+    try:
+        for _ in range(max_iter):
+            msgs = edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "component")
+            new_labels = (
+                msgs.unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
+                .filter(F.col("component") != F.col("_old"))
+                .count()
+            )
+            # the superseded round's checkpoint is dead once `changed` is
+            # computed — unpersist it or a high-diameter graph pins one
+            # label-set copy per round
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                return labels.select(F.col("node").alias("doc_id"), "component")
+    finally:
+        if not converged:
+            # the non-convergence raise (and any mid-loop failure) must not
+            # leave the edges / last-round labels checkpoints pinned in a
+            # long-lived session that catches the error.  On success the
+            # returned frame reads the final labels checkpoint (truncated
+            # lineage), so only edges is safe to drop there.
+            labels.unpersist()
+        edges.unpersist()
     raise RuntimeError(
         f"dedup_components did not converge in {max_iter} rounds — graph "
         "diameter exceeds the bound; use a larger max_iter or a star-contraction "
