@@ -241,14 +241,6 @@ SHARED_SQL: dict[str, str] = {
         "WHEN o_orderstatus = 'O' THEN 'processing' ELSE 'partial' END AS status, "
         "count(*) AS n FROM orders GROUP BY 1"
     ),
-    # string-function family
-    "string_functions": (
-        "SELECT c_custkey, upper(c_mktsegment) AS seg_upper, "
-        "substring(c_name, 1, 8) AS name_prefix, "
-        "replace(c_name, 'Customer', 'C') AS name_short, "
-        "length(c_name) AS name_len, "
-        "c_mktsegment || '/' || c_name AS seg_name FROM customer"
-    ),
     # P10/P11: lenient numeric parse + precedence CASE + truncation
     "drive_value_precedence": (
         "SELECT l_orderkey, l_linenumber, "
@@ -978,11 +970,15 @@ def oracle_session_windows() -> str:
     )
 
 
-def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 hash/crypto family (reference backend/core/security.py:3-7 hashes
-    secrets with sha256; auth.py:22 mints uuid tokens): sha2-256 + md5 digests and
-    a deterministic name-based uuid (md5 hex formatted 8-4-4-4-12, the uuid3
-    layout) — the engine's content-addressing primitives."""
+def q_string_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 string family + hash/crypto family in ONE per-row pass over customer
+    (merged r5 to free a driver-window slot for the composite dedup pipeline;
+    both probes were identical single-table projections keyed on c_custkey).
+    Strings: upper/substring/replace/length/concat.  Hashes (reference
+    backend/core/security.py:3-7 hashes secrets with sha256; auth.py:22 mints
+    uuid tokens): sha2-256 + md5 digests and a deterministic name-based uuid
+    (md5 hex formatted 8-4-4-4-12, the uuid3 layout) — the engine's
+    content-addressing primitives."""
     register_views(spark, sf_dir)
     m = F.md5(F.col("c_name"))
     uuid3 = F.concat_ws(
@@ -995,15 +991,25 @@ def q_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.table("customer").select(
         "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("/"), F.col("c_name")).alias("seg_name"),
         F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
         m.alias("md5_hex"),
         uuid3.alias("name_uuid"),
     )
 
 
-def oracle_hash_functions() -> str:
+def oracle_string_hash_functions() -> str:
     return (
-        "SELECT c_custkey, sha256(c_name) AS sha256_hex, md5(c_name) AS md5_hex, "
+        "SELECT c_custkey, upper(c_mktsegment) AS seg_upper, "
+        "substring(c_name, 1, 8) AS name_prefix, "
+        "replace(c_name, 'Customer', 'C') AS name_short, "
+        "length(c_name) AS name_len, "
+        "c_mktsegment || '/' || c_name AS seg_name, "
+        "sha256(c_name) AS sha256_hex, md5(c_name) AS md5_hex, "
         "substring(md5(c_name), 1, 8) || '-' || substring(md5(c_name), 9, 4) || '-' "
         "|| substring(md5(c_name), 13, 4) || '-' || substring(md5(c_name), 17, 4) "
         "|| '-' || substring(md5(c_name), 21, 12) AS name_uuid FROM customer"
@@ -1278,6 +1284,57 @@ def oracle_dedup_components() -> str:
     )
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dedup pipeline a 100 TB corpus run composes: MinHash-LSH pair
+    generation -> connected-components collapse -> min-id representative
+    decision for EVERY document (singletons keep themselves).  Output is the
+    linear (doc_id, keep_doc_id, is_representative) keep/drop table — the
+    artifact a training-data pipeline actually materializes, not the quadratic
+    pair list.  Each stage is also oracled standalone (``minhash_near_dups``,
+    ``dedup_components``); this entry pins their COMPOSITION end-to-end."""
+    from geojson_utility_spark.operators.dedup import (
+        dedup_components,
+        minhash_near_dups,
+    )
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+    comps = dedup_components(pairs)
+    keep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            keep.alias("keep_doc_id"),
+            (keep == F.col("doc_id")).alias("is_representative"),
+        )
+    )
+
+
+def oracle_dedup_pipeline() -> str:
+    """Recursive-CTE oracle for the composed pipeline: exact Jaccard pairs at
+    the minhash entry's threshold (LSH == exact on this corpus, see
+    ``oracle_minhash_near_dups``), min-reachable-id components, left-joined
+    back to the full documents table."""
+    j = _jaccard_oracle_sql(0.5)
+    return (
+        f"WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({j}) jj), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, comp) AS ("
+        "SELECT src, src FROM edges "
+        "UNION "
+        "SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node), "
+        "comp AS (SELECT node AS doc_id, min(comp) AS component "
+        "FROM reach GROUP BY node) "
+        "SELECT d.doc_id, coalesce(c.component, d.doc_id) AS keep_doc_id, "
+        "coalesce(c.component, d.doc_id) = d.doc_id AS is_representative "
+        "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"
+    )
+
+
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
     column — exercises the guaranteed-recall hamming_pairs machinery (the shared
@@ -1315,10 +1372,82 @@ def oracle_hamming_near_dups() -> str:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION simhash family (xxhash64, 64 bits) — oracled since r5 via
+    a literal token->hash map computed by the repo's independent pure-Python
+    XXH64 (functions/xxh64.py, written from the public spec and pinned against
+    F.xxhash64 by pytest), letting DuckDB reproduce tokenize -> per-bit votes ->
+    sign assembly end-to-end."""
     from geojson_utility_spark.operators.dedup import simhash64
 
     register_views(spark, sf_dir)
     return simhash64(spark.table("documents"), "text", "doc_id")
+
+
+def oracle_simhash() -> str:
+    """Literal-hash-map oracle for the xxhash64 simhash family.
+
+    DuckDB has no xxhash64, so the corpus' DISTINCT tokens (31 at sf0.01 — the
+    synthetic documents draw from a small vocabulary) are hashed driver-side by
+    the independent Python XXH64 and embedded as (tok, th) VALUES; everything
+    else — tokenization, per-bit +1/-1 vote sums, sign-bitmap assembly including
+    the two's-complement bit 63 — runs in DuckDB SQL, mirroring
+    ``oracle_simhash_md5`` with the hash step swapped for the literal lookup.
+
+    Guards: a membership error() fires if DuckDB tokenizes a token absent from
+    the literal map (tokenizer drift fails loudly, not as silent vote loss), and
+    a corpus fingerprint (count, min/max doc_id, sum(n_chars)) fails loudly on a
+    scale-factor mismatch — this is DATA-coupled like ``oracle_ivf_ann_topk``
+    (override the build corpus via SPARK_GRAFT_ORACLE_SF)."""
+    import os
+    import re
+
+    import duckdb
+
+    from geojson_utility_spark.functions.xxh64 import xxh64_str
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        "SELECT text, doc_id, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    toks = set()
+    for text, _, _ in rows:
+        toks.update(re.sub(r"\s+", " ", text.lower()).strip().split(" "))
+    tok_vals = ", ".join(
+        f"({t!r}, {xxh64_str(t)})" for t in sorted(toks)
+    )
+    fp_n = len(rows)
+    fp_min = min(r[1] for r in rows)
+    fp_max = max(r[1] for r in rows)
+    fp_chars = sum(r[2] for r in rows)
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    # bits 0..62 sum disjoint powers of two; bit 63 adds -(2^63) — exactly the
+    # two's-complement value of a sign bit, keeping the total in BIGINT range
+    assemble = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(63)
+    ) + " + CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+    return (
+        f"WITH tok_map(tok, th) AS (VALUES {tok_vals}), "
+        "guard AS (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM documents) <> {fp_n} "
+        f"OR (SELECT min(doc_id) FROM documents) <> {fp_min} "
+        f"OR (SELECT max(doc_id) FROM documents) <> {fp_max} "
+        f"OR (SELECT sum(n_chars) FROM documents) <> {fp_chars} "
+        "THEN error('oracle_simhash corpus fingerprint mismatch: the literal "
+        f"token hash map was built from {sf_dir} — set SPARK_GRAFT_ORACLE_SF "
+        "to the sf the entry runs at') ELSE 1 END AS ok), "
+        "toks AS (SELECT doc_id, unnest(str_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents), "
+        "hashed AS (SELECT t.doc_id, coalesce(m.th, "
+        "error('oracle_simhash: token missing from literal hash map: ' || t.tok"
+        ")) AS th FROM toks t LEFT JOIN tok_map m ON m.tok = t.tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, ({assemble})::BIGINT AS simhash FROM votes "
+        "JOIN guard ON guard.ok = 1"
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,7 +1992,7 @@ def oracle_enrich_locations() -> str:
 # Contract: the flagship leads, every oracled entry precedes every rows-only entry,
 # and len(queries()) <= 50 so nothing is silently dropped.  tests/test_entry.py
 # pins all three properties.
-_ROWS_ONLY = ("simhash", "media_decode_verify", "rasterize_masks")
+_ROWS_ONLY = ("media_decode_verify", "rasterize_masks")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1886,7 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "validate_id_fields": q_validate_id_fields,
             "dedup_fingerprint_winner": q_dedup_fingerprint,
             "json_extract": q_json_extract,
-            "hash_functions": q_hash_functions,
+            "string_hash_functions": q_string_hash_functions,
             "heartbeat_events": q_heartbeat_events,
             "session_windows": q_session_windows,
             "simhash_md5": q_simhash_md5,
@@ -1898,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "validate_locations_full": q_validate_locations_full,
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "dedup_components": q_dedup_components,
+            "dedup_pipeline": q_dedup_pipeline,
             "hamming_near_dups": q_hamming_near_dups,
             "minhash_near_dups": q_minhash_near_dups,
             "lsh_ann_topk": q_lsh_ann_topk,
@@ -1906,8 +2036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ivf_near_dups": q_ivf_near_dups,
             "phash_near_dups": q_phash_near_dups,
             "enrich_locations": q_enrich_locations,
-            # rows-only entries LAST (documented reasons in each docstring)
             "simhash": q_simhash,
+            # rows-only entries LAST (documented reasons in each docstring)
             "media_decode_verify": q_media_decode_verify,
             "rasterize_masks": q_rasterize_masks,
         }
@@ -1932,7 +2062,7 @@ def oracle_sql() -> dict[str, str]:
             "validate_id_fields": oracle_validate_id_fields(),
             "dedup_fingerprint_winner": oracle_dedup_fingerprint(),
             "json_extract": oracle_json_extract(),
-            "hash_functions": oracle_hash_functions(),
+            "string_hash_functions": oracle_string_hash_functions(),
             "heartbeat_events": oracle_heartbeat_events(),
             "session_windows": oracle_session_windows(),
             "simhash_md5": oracle_simhash_md5(),
@@ -1944,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
             "validate_locations_full": oracle_validate_locations_full(),
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "dedup_components": oracle_dedup_components(),
+            "dedup_pipeline": oracle_dedup_pipeline(),
             "hamming_near_dups": oracle_hamming_near_dups(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "lsh_ann_topk": oracle_lsh_ann_topk(),
@@ -1952,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
             "ivf_near_dups": oracle_ivf_near_dups(),
             "phash_near_dups": oracle_phash_near_dups(),
             "enrich_locations": oracle_enrich_locations(),
+            "simhash": oracle_simhash(),
         }
     )
     return out

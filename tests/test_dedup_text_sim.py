@@ -723,3 +723,34 @@ def test_capped_pairs_n_ids_skip_identical(spark):
         n = ivf_near_dups(df, threshold=0.99, n_lists=8, n_probe=1,
                           train_size=400, bucket_cap=None).count()
     assert n > 1000
+
+
+def test_python_xxh64_matches_spark(spark, sf_dir):
+    """Two-implementation agreement: the pure-Python XXH64 (functions/xxh64.py,
+    written from the public spec) vs Spark's JVM F.xxhash64, over (a) every
+    distinct token the simhash oracle embeds as literals and (b) adversarial
+    byte lengths spanning the 32-byte stripe loop and the 8/4/1-byte tail
+    paths, plus multi-byte UTF-8.  This is the pin that makes oracle_simhash a
+    genuine cross-engine oracle rather than a tautology."""
+    import re
+
+    from geojson_utility_spark.functions.xxh64 import xxh64_str
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = set()
+    for (text,) in corpus.select("text").collect():
+        toks.update(re.sub(r"\s+", " ", text.lower()).strip().split(" "))
+    adversarial = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg", "abcdefgh",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 40, "q" * 63, "r" * 64, "s" * 65,
+        "t" * 100, "héllo wörld", "日本語テキスト", "emoji 🎉 test", "a b  c",
+    ]
+    cases = sorted(toks) + adversarial
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert xxh64_str(r.s) == r.h, f"xxh64 mismatch on {r.s!r}"
