@@ -36,6 +36,7 @@ def bench_queries(spark):
     from geojson_utility_spark.entry_queries import (
         PTS_CUSTOMER,
         SHARED_SQL,
+        WINDOW_RUNNING_SUM_SQL,
         register_views,
     )
     from geojson_utility_spark.operators.dedup import minhash_near_dups, simhash64
@@ -103,7 +104,7 @@ def bench_queries(spark):
         "q1_pricing_rollup": lambda: spark.sql(SHARED_SQL["q1_pricing_rollup"]),
         "q3_shipping_priority": lambda: spark.sql(SHARED_SQL["q3_shipping_priority"]),
         "q5_region_volume": lambda: spark.sql(SHARED_SQL["q5_region_volume"]),
-        "window_running_sum": lambda: spark.sql(SHARED_SQL["window_running_sum"]),
+        "window_running_sum": lambda: spark.sql(WINDOW_RUNNING_SUM_SQL),
         "knn_grid": knn,
         "minhash_near_dups": minhash,
         "simhash": simhash,

@@ -175,8 +175,12 @@ SHARED_SQL: dict[str, str] = {
         "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
         "WHERE r_name = 'ASIA' GROUP BY n_name"
     ),
-    # W4 topk + W1 top-1-by-timestamp, tag-unioned (both row_number-per-group
-    # probes; merged r4 to free a driver-window slot for dedup_components)
+    # W4 topk + W1 top-1-by-timestamp + W-running cumulative frame, tag-unioned
+    # (merged r4/r5 to free driver-window slots for dedup_components and
+    # sample_stratified; the running-sum branch pins the ROWS BETWEEN frame and
+    # decimal-sum semantics previously covered by the standalone
+    # window_running_sum entry — bench.py still times that SQL standalone via
+    # WINDOW_RUNNING_SUM_SQL for cross-round comparability)
     "window_rank_probes": (
         "SELECT 'top3' AS probe, p_brand AS k, p_partkey AS id, "
         "cast(p_retailprice AS double) AS val FROM ("
@@ -188,7 +192,14 @@ SHARED_SQL: dict[str, str] = {
         "o_orderkey AS id, cast(0.0 AS double) AS val FROM ("
         "SELECT o_custkey, o_orderkey, row_number() OVER "
         "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn "
-        "FROM orders) t WHERE rn = 1"
+        "FROM orders) t WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT 'run_sum' AS probe, cast(l_suppkey AS string) AS k, "
+        "l_orderkey * 8 + l_linenumber AS id, "
+        "cast(sum(cast(l_quantity AS decimal(18,2))) OVER "
+        "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS val "
+        "FROM lineitem WHERE l_suppkey <= 3"
     ),
     # W2 + W2b, tag-unioned: offset pagination page 3 (rows 21-30, global
     # row_number) and keyset pagination (the scale-safe page shape: range
@@ -204,14 +215,6 @@ SHARED_SQL: dict[str, str] = {
         "WHERE o_orderdate < DATE '1997-06-30' "
         "OR (o_orderdate = DATE '1997-06-30' AND o_orderkey > 1000) "
         "ORDER BY o_orderdate DESC, o_orderkey LIMIT 10) k"
-    ),
-    # W-running: cumulative sum window
-    "window_running_sum": (
-        "SELECT l_suppkey, l_orderkey, l_linenumber, "
-        "cast(sum(cast(l_quantity AS decimal(18,2))) OVER "
-        "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty "
-        "FROM lineitem WHERE l_suppkey <= 3"
     ),
     # semi + anti join, tag-unioned (serviceability-gap analog keeps both plans:
     # Spark compiles the two branches to LeftSemi and LeftAnti joins)
@@ -270,6 +273,17 @@ SHARED_SQL: dict[str, str] = {
         "FROM orders"
     ),
 }
+
+# Timed standalone by bench.py (cross-round comparability of the
+# window_running_sum bench query); its correctness row now lives as the
+# 'run_sum' branch of the window_rank_probes entry.
+WINDOW_RUNNING_SUM_SQL = (
+    "SELECT l_suppkey, l_orderkey, l_linenumber, "
+    "cast(sum(cast(l_quantity AS decimal(18,2))) OVER "
+    "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty "
+    "FROM lineitem WHERE l_suppkey <= 3"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1335,6 +1349,71 @@ def oracle_dedup_pipeline() -> str:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling family (r5): per-stratum hash-Bernoulli fractions
+    + exact-k deterministic reservoir, tag-unioned over orders.  Runs the md5
+    hash family so DuckDB reproduces the row selection bit-for-bit (the
+    15-hex-chars-to-60-bit recipe proven by ``simhash_md5``); the production
+    xxhash64 family is pinned by pytest determinism/fraction tests and the
+    independent Python XXH64 parity check."""
+    from geojson_utility_spark.operators.sampling import (
+        reservoir_k,
+        stratified_sample,
+    )
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    strat = stratified_sample(
+        orders,
+        "o_orderstatus",
+        {"O": 0.2, "F": 0.1, "P": 0.5},
+        key_col="o_orderkey",
+        seed=7,
+        hash_family="md5",
+    )
+    res = reservoir_k(
+        orders, "o_orderpriority", "o_orderkey", k=5, seed=7, hash_family="md5"
+    )
+    return strat.select(
+        F.lit("strat").alias("probe"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+    ).unionByName(
+        res.select(
+            F.lit("reservoir").alias("probe"),
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderkey").alias("id"),
+        )
+    )
+
+
+def oracle_sample_stratified() -> str:
+    from geojson_utility_spark.operators.sampling import _threshold
+
+    hexval = "(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1)::BIGINT"
+    th = " + ".join(f"{hexval.format(i=i)} * {16 ** (15 - i)}" for i in range(1, 16))
+    case = (
+        "CASE o_orderstatus "
+        f"WHEN 'F' THEN {_threshold(0.1)} "
+        f"WHEN 'O' THEN {_threshold(0.2)} "
+        f"WHEN 'P' THEN {_threshold(0.5)} ELSE 0 END"
+    )
+    return (
+        "WITH hashed AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        "md5(o_orderkey::VARCHAR || ':7') AS h FROM orders), "
+        f"b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        f"({th}) % 1000000 AS bucket FROM hashed), "
+        f"strat AS (SELECT 'strat' AS probe, o_orderstatus AS grp, "
+        f"o_orderkey AS id FROM b WHERE bucket < {case}), "
+        "res AS (SELECT 'reservoir' AS probe, o_orderpriority AS grp, "
+        "o_orderkey AS id FROM ("
+        "SELECT o_orderpriority, o_orderkey, row_number() OVER ("
+        "PARTITION BY o_orderpriority ORDER BY bucket, o_orderkey) AS rn "
+        "FROM b) t WHERE rn <= 5) "
+        "SELECT * FROM strat UNION ALL SELECT * FROM res"
+    )
+
+
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
     column — exercises the guaranteed-recall hamming_pairs machinery (the shared
@@ -2028,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
             "dedup_components": q_dedup_components,
             "dedup_pipeline": q_dedup_pipeline,
+            "sample_stratified": q_sample_stratified,
             "hamming_near_dups": q_hamming_near_dups,
             "minhash_near_dups": q_minhash_near_dups,
             "lsh_ann_topk": q_lsh_ann_topk,
@@ -2075,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
             "ngram_jaccard_pairs": oracle_ngram_jaccard_pairs(),
             "dedup_components": oracle_dedup_components(),
             "dedup_pipeline": oracle_dedup_pipeline(),
+            "sample_stratified": oracle_sample_stratified(),
             "hamming_near_dups": oracle_hamming_near_dups(),
             "minhash_near_dups": oracle_minhash_near_dups(),
             "lsh_ann_topk": oracle_lsh_ann_topk(),
