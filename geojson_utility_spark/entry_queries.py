@@ -1867,6 +1867,227 @@ def q_rasterize_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oracle_rasterize_masks() -> str:
+    """Full-SQL oracle for the rasterized tile masks (mask bytes dropped; the packed
+    bitmask itself is pinned by tests/test_tiling.py round-trips).
+
+    Literal inputs, all derived independently of the engine's normalize/cover code:
+    - fixture rings parsed straight from the fixture geojson with stdlib ``json``,
+      winding-normalized by an independent shoelace + reverse, and invalid rings
+      excluded by an independent O(M^2) proper-intersection bow-tie check;
+    - per-polygon candidate tile ranges from the public XYZ formula
+      (floor((lon+180)/360*2^z), floor((1-log(tan+sec)/pi)/2*2^z));
+    - the per-tile-row mercator boundary latitudes (DuckDB has no ``sinh``), same
+      literal technique as the hyperplane/centroid ANN oracles.
+
+    Everything else is computed in SQL with bit-identical IEEE arithmetic (parity
+    rules at the top of this file): the three-way conservative cover rule of
+    functions/cells.py:polygon_to_cells (probe-point even-odd parity for center +
+    4 corners, ring-vertex-in-rect, ring-edge x tile-edge intersection incl.
+    collinear touch), then the 32x32 pixel-center covers-PIP of functions/pip.py
+    (half-open even-odd crossing OR exact on-edge) and the coverage fraction
+    k/1024 (a dyadic rational -> exact in both engines).
+    """
+    import json as _json
+
+    import numpy as np
+
+    from geojson_utility_spark import fixtures as FX
+
+    zoom, msize = 12, 32
+    n_tiles = np.int64(1) << zoom
+    max_lat = 85.05112878  # web-mercator clamp (public constant)
+
+    def _cross(o, d, p):
+        return (d[0] - o[0]) * (p[1] - o[1]) - (d[1] - o[1]) * (p[0] - o[0])
+
+    def _self_intersects(ring):  # proper intersection of non-adjacent segments
+        m = len(ring) - 1
+        for i in range(m):
+            for j in range(i + 2, m):
+                if i == 0 and j == m - 1:
+                    continue
+                a1, a2, b1, b2 = ring[i], ring[i + 1], ring[j], ring[j + 1]
+                d1, d2 = _cross(a1, a2, b1), _cross(a1, a2, b2)
+                d3, d4 = _cross(b1, b2, a1), _cross(b1, b2, a2)
+                if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                    return True
+        return False
+
+    def _tile_xy(lat, lon):
+        """Public XYZ point->tile formula, numpy float64 ops (same IEEE results)."""
+        lat = np.clip(np.float64(lat), -max_lat, max_lat)
+        xf = (lon + 180.0) / 360.0 * n_tiles
+        lat_rad = np.radians(lat)
+        yf = (
+            (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi)
+            / 2.0
+            * n_tiles
+        )
+        x = int(np.clip(np.floor(xf), 0, float(n_tiles - 1)))
+        y = int(np.clip(np.floor(yf), 0, float(n_tiles - 1)))
+        return x, y
+
+    edge_rows, vert_rows, rng_rows = [], [], []
+    y_needed: set[int] = set()
+    for _, row in FX.make_polygons(20).iterrows():
+        doc = _json.loads(row["geojson"])
+        ring = [list(map(float, p)) for p in
+                doc["features"][0]["geometry"]["coordinates"][0]]
+        if ring[0] != ring[-1]:
+            ring.append(ring[0])
+        if _self_intersects(ring):
+            continue  # the planted bow-tie: normalize flags it, rasterize drops it
+        area2 = sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(ring, ring[1:]))
+        if not area2 > 0.0:  # normalize_winding: CCW outer ring
+            ring = ring[::-1]
+        pid = row["polygon_id"]
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            edge_rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+        for x1, y1 in ring[:-1]:
+            vert_rows.append(f"('{pid}', {x1!r}, {y1!r})")
+        arr = np.asarray(ring, dtype=np.float64)
+        lon_min, lat_min = arr.min(axis=0)
+        lon_max, lat_max = arr.max(axis=0)
+        x0, y0 = _tile_xy(lat_max, lon_min)  # NW corner -> min x, min y
+        x1_, y1_ = _tile_xy(lat_min, lon_max)  # SE corner -> max x, max y
+        rng_rows.append(f"('{pid}', {x0}, {x1_}, {y0}, {y1_})")
+        y_needed.update(range(y0, y1_ + 2))
+
+    ys = np.asarray(sorted(y_needed), dtype=np.float64)
+    lats = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / float(n_tiles)))))
+    ylat_rows = [f"({int(y)}, {lat!r})" for y, lat in zip(ys, lats)]
+
+    # half-open even-odd crossing term; `xint` spelled with the engine's exact op
+    # order at each site (cover: mul-then-div; pixel kernel: precomputed slope).
+    def _parity(px, py, xint):
+        return (
+            f"SUM(CASE WHEN (ed.ey1 <= {py}) != (ed.ey2 <= {py}) "
+            f"AND {px} < ed.ex1 + {xint} THEN 1 ELSE 0 END) % 2 = 1"
+        )
+
+    cover_xint = "({py} - ed.ey1) * (ed.ex2 - ed.ex1) / (ed.ey2 - ed.ey1)"
+    pixel_xint = "({py} - ed.ey1) * ((ed.ex2 - ed.ex1) / (ed.ey2 - ed.ey1))"
+
+    tile_edges = ", ".join(
+        f"(w, s, e, s)" if k == 0 else f"(e, s, e, n)" if k == 1
+        else f"(e, n, w, n)" if k == 2 else f"(w, n, w, s)"
+        for k in range(4)
+    )
+
+    return f"""
+WITH edges(pid, ex1, ey1, ex2, ey2) AS (VALUES {', '.join(edge_rows)}),
+verts(pid, vx, vy) AS (VALUES {', '.join(vert_rows)}),
+rngs(pid, x0, x1, y0, y1) AS (VALUES {', '.join(rng_rows)}),
+ylat(y, lat) AS (VALUES {', '.join(ylat_rows)}),
+cx AS (SELECT pid, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM rngs),
+cand AS (SELECT pid, x, unnest(generate_series(y0, y1)) AS y FROM cx),
+bounds AS (
+  SELECT c.pid, c.x, c.y,
+         c.x / 4096.0 * 360.0 - 180.0 AS w,
+         (c.x + 1) / 4096.0 * 360.0 - 180.0 AS e,
+         ys.lat AS s, yn.lat AS n
+  FROM cand c
+  JOIN ylat yn ON yn.y = c.y
+  JOIN ylat ys ON ys.y = c.y + 1
+),
+probes AS (
+  SELECT pid, x, y, (w + e) / 2.0 AS px, (s + n) / 2.0 AS py FROM bounds
+  UNION ALL SELECT pid, x, y, w, s FROM bounds
+  UNION ALL SELECT pid, x, y, w, n FROM bounds
+  UNION ALL SELECT pid, x, y, e, s FROM bounds
+  UNION ALL SELECT pid, x, y, e, n FROM bounds
+),
+cov_probe AS (
+  SELECT p.pid, p.x, p.y
+  FROM probes p JOIN edges ed ON ed.pid = p.pid
+  GROUP BY p.pid, p.x, p.y, p.px, p.py
+  HAVING {_parity('p.px', 'p.py', cover_xint.format(py='p.py'))}
+),
+cov_vert AS (
+  SELECT b.pid, b.x, b.y
+  FROM bounds b JOIN verts v ON v.pid = b.pid
+  WHERE v.vx >= b.w AND v.vx <= b.e AND v.vy >= b.s AND v.vy <= b.n
+),
+tedges AS (
+  SELECT pid, x, y, te.ax1, te.ay1, te.ax2, te.ay2
+  FROM bounds, LATERAL (VALUES {tile_edges}) te(ax1, ay1, ax2, ay2)
+),
+cov_edge AS (
+  SELECT t.pid, t.x, t.y
+  FROM tedges t JOIN edges ed ON ed.pid = t.pid
+  WHERE (
+    ((t.ax2 - t.ax1) * (ed.ey1 - t.ay1) - (t.ay2 - t.ay1) * (ed.ex1 - t.ax1) > 0)
+      != ((t.ax2 - t.ax1) * (ed.ey2 - t.ay1) - (t.ay2 - t.ay1) * (ed.ex2 - t.ax1) > 0)
+    AND
+    ((ed.ex2 - ed.ex1) * (t.ay1 - ed.ey1) - (ed.ey2 - ed.ey1) * (t.ax1 - ed.ex1) > 0)
+      != ((ed.ex2 - ed.ex1) * (t.ay2 - ed.ey1) - (ed.ey2 - ed.ey1) * (t.ax2 - ed.ex1) > 0)
+  ) OR (
+    (t.ax2 - t.ax1) * (ed.ey1 - t.ay1) - (t.ay2 - t.ay1) * (ed.ex1 - t.ax1) = 0
+    AND ed.ex1 >= least(t.ax1, t.ax2) AND ed.ex1 <= greatest(t.ax1, t.ax2)
+    AND ed.ey1 >= least(t.ay1, t.ay2) AND ed.ey1 <= greatest(t.ay1, t.ay2)
+  ) OR (
+    (t.ax2 - t.ax1) * (ed.ey2 - t.ay1) - (t.ay2 - t.ay1) * (ed.ex2 - t.ax1) = 0
+    AND ed.ex2 >= least(t.ax1, t.ax2) AND ed.ex2 <= greatest(t.ax1, t.ax2)
+    AND ed.ey2 >= least(t.ay1, t.ay2) AND ed.ey2 <= greatest(t.ay1, t.ay2)
+  ) OR (
+    (ed.ex2 - ed.ex1) * (t.ay1 - ed.ey1) - (ed.ey2 - ed.ey1) * (t.ax1 - ed.ex1) = 0
+    AND t.ax1 >= least(ed.ex1, ed.ex2) AND t.ax1 <= greatest(ed.ex1, ed.ex2)
+    AND t.ay1 >= least(ed.ey1, ed.ey2) AND t.ay1 <= greatest(ed.ey1, ed.ey2)
+  ) OR (
+    (ed.ex2 - ed.ex1) * (t.ay2 - ed.ey1) - (ed.ey2 - ed.ey1) * (t.ax2 - ed.ex1) = 0
+    AND t.ax2 >= least(ed.ex1, ed.ex2) AND t.ax2 <= greatest(ed.ex1, ed.ex2)
+    AND t.ay2 >= least(ed.ey1, ed.ey2) AND t.ay2 <= greatest(ed.ey1, ed.ey2)
+  )
+),
+cover AS (
+  SELECT b.pid, b.x, b.y, b.w, b.e, b.s, b.n FROM bounds b
+  WHERE EXISTS (SELECT 1 FROM cov_probe c
+                WHERE c.pid = b.pid AND c.x = b.x AND c.y = b.y)
+     OR EXISTS (SELECT 1 FROM cov_vert c
+                WHERE c.pid = b.pid AND c.x = b.x AND c.y = b.y)
+     OR EXISTS (SELECT 1 FROM cov_edge c
+                WHERE c.pid = b.pid AND c.x = b.x AND c.y = b.y)
+),
+pix AS (
+  SELECT c.pid, c.x, c.y, gi.i, gj.j,
+         c.w + ((gi.i + 0.5) / 32.0) * (c.e - c.w) AS px,
+         c.n + ((gj.j + 0.5) / 32.0) * (c.s - c.n) AS py
+  FROM cover c,
+       (SELECT unnest(generate_series(0, 31)) AS i) gi,
+       (SELECT unnest(generate_series(0, 31)) AS j) gj
+),
+pixin AS (
+  -- exactness-preserving prune: an edge whose [ymin, ymax] band excludes py can
+  -- neither straddle it (crossing term false) nor contain it (on-edge false),
+  -- so it contributes nothing to this pixel's test and is dropped from the join.
+  SELECT p.pid, p.x, p.y, p.i, p.j,
+    ({_parity('p.px', 'p.py', pixel_xint.format(py='p.py'))})
+    OR bool_or(
+      (ed.ex2 - ed.ex1) * (p.py - ed.ey1) - (ed.ey2 - ed.ey1) * (p.px - ed.ex1) = 0
+      AND p.px >= least(ed.ex1, ed.ex2) AND p.px <= greatest(ed.ex1, ed.ex2)
+    ) AS ins
+  FROM pix p JOIN edges ed ON ed.pid = p.pid
+    AND p.py >= least(ed.ey1, ed.ey2) AND p.py <= greatest(ed.ey1, ed.ey2)
+  GROUP BY p.pid, p.x, p.y, p.i, p.j, p.px, p.py
+),
+pixcnt AS (
+  SELECT pid, x, y, SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS n_in
+  FROM pixin GROUP BY pid, x, y
+)
+SELECT c.pid AS polygon_id,
+  (CAST({zoom} AS BIGINT) << 58) | (CAST(c.x AS BIGINT) << 29) | CAST(c.y AS BIGINT)
+    AS tile_cell,
+  CAST({zoom} AS INT) AS tile_z,
+  CAST(c.x AS BIGINT) AS tile_x,
+  CAST(c.y AS BIGINT) AS tile_y,
+  CAST({msize} AS INT) AS mask_size,
+  CAST(COALESCE(pc.n_in, 0) AS DOUBLE) / {msize * msize}.0 AS coverage
+FROM cover c
+LEFT JOIN pixcnt pc ON pc.pid = c.pid AND pc.x = c.x AND pc.y = c.y
+"""
+
+
 def q_enrich_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full bulk pipeline (validate -> gate -> enrich -> union ->
     order restore) over the SQL-synthesized locations rows.  Every column except
@@ -2031,6 +2252,93 @@ def q_media_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud).unionByName(vid)
 
 
+def oracle_media_decode_verify() -> str:
+    """Literal-expectation oracle for all three multimodal decode pipelines.
+
+    The expected rows are derived in the builder WITHOUT running any engine codec:
+    - image/video pixels are regenerated from the fixture's documented generation
+      formulas (integer gradient patterns keyed by a re-implemented public FNV-1a
+      of the item id) — i.e. from the *input* parameters, not from decoding bytes;
+    - the fake-jpeg lossy path is simulated as its documented quantization
+      ``px // 2 * 2`` to predict which items keep ``phash_ok`` (PNG/WAV/fvid are
+      lossless -> ok by construction, audio metadata matches the fixture columns);
+    - frame sampling indices are ``range(0, n_frames, every_n)`` per the operator
+      contract, and the 64-bit average-hash is the same public recipe re-derived
+      here (shared-arithmetic parity rule at the top of this file).
+
+    Spark must therefore decode real PNG/RIFF/fvid byte streams and reproduce
+    every flag and frame hash bit-for-bit to match — the decode path itself is the
+    thing under test (operators/images.py:37, operators/media.py:60,153)."""
+    import numpy as np
+
+    from geojson_utility_spark import fixtures as FX
+
+    def _fnv1a(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def _avg_hash(px: np.ndarray) -> int:
+        gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        hh, ww = gray.shape
+        ys = (np.arange(9) * hh) // 8
+        xs = (np.arange(9) * ww) // 8
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[
+                    ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)
+                ].mean()
+        med = np.median(blocks)
+        val = 0
+        for i, b in enumerate((blocks > med).ravel()):
+            if b:
+                val |= 1 << i
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    rows = []
+    for r in FX.make_images(200).itertuples():
+        yy, xx = np.mgrid[0: r.h, 0: r.w]
+        phase = _fnv1a(r.image_id) % 256
+        px = np.stack(
+            [
+                (xx * 255 // max(r.w - 1, 1) + phase) % 256,
+                (yy * 255 // max(r.h - 1, 1)) % 256,
+                (xx + yy + phase) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        if r.fmt == "png":
+            ok = True  # lossless round trip: every check holds by construction
+        else:  # fake-jpeg: step-2 quantization; phash of the dequantized decode
+            ok = _avg_hash((px // 2 * 2).astype(np.uint8)) == int(r.phash)
+        rows.append(("image", r.image_id, ok, ""))
+    for r in FX.make_audio(120).itertuples():
+        rows.append(("audio", r.audio_id, True, ""))  # PCM16/WAV is exact
+    for r in FX.make_videos(40).itertuples():
+        vid_i = int(r.video_id.split("_")[1])
+        yy, xx = np.mgrid[0: r.h, 0: r.w]
+        for f in range(0, int(r.n_frames), 5):
+            px = np.stack(
+                [
+                    (xx * 4 + f * 3 + vid_i) % 256,
+                    (yy * 4 + f * 5) % 256,
+                    (xx + yy + f * 7) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append(("video_frame", r.video_id, True, f"{f}:{_avg_hash(px)}"))
+
+    vals = ", ".join(
+        f"('{m}', '{i}', {str(bool(o)).upper()}, '{d}')" for m, i, o, d in rows
+    )
+    return (
+        f"SELECT modality, item_id, CAST(ok AS BOOLEAN) AS ok, detail "
+        f"FROM (VALUES {vals}) t(modality, item_id, ok, detail)"
+    )
+
+
 def oracle_phash_near_dups() -> str:
     """Brute-force hamming oracle over the image fixture's phash column — the
     fixture is deterministic, so the 300 (image_id, phash) pairs are embedded as
@@ -2070,8 +2378,8 @@ def oracle_enrich_locations() -> str:
 # of queries() only (round-2 lesson — 4 oracled entries fell past the window).
 # Contract: the flagship leads, every oracled entry precedes every rows-only entry,
 # and len(queries()) <= 50 so nothing is silently dropped.  tests/test_entry.py
-# pins all three properties.
-_ROWS_ONLY = ("media_decode_verify", "rasterize_masks")
+# pins all three properties.  As of round 5 every entry is oracled (rows-only: none).
+_ROWS_ONLY: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2117,9 +2425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "phash_near_dups": q_phash_near_dups,
             "enrich_locations": q_enrich_locations,
             "simhash": q_simhash,
-            # rows-only entries LAST (documented reasons in each docstring)
-            "media_decode_verify": q_media_decode_verify,
             "rasterize_masks": q_rasterize_masks,
+            "media_decode_verify": q_media_decode_verify,
         }
     )
     return out
@@ -2165,6 +2472,8 @@ def oracle_sql() -> dict[str, str]:
             "phash_near_dups": oracle_phash_near_dups(),
             "enrich_locations": oracle_enrich_locations(),
             "simhash": oracle_simhash(),
+            "rasterize_masks": oracle_rasterize_masks(),
+            "media_decode_verify": oracle_media_decode_verify(),
         }
     )
     return out
