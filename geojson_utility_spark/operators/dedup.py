@@ -158,6 +158,25 @@ def _persist(df: DataFrame, storage_level: str):
     return df.persist(getattr(StorageLevel, storage_level))
 
 
+def _spread_keyed(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition the narrow pre-explode frame by ``key`` — unlike
+    :func:`_spread` this ALWAYS shuffles, and shuffles the CHEAP side: the frame
+    before the ~10x row-exploding shingle stage.  The explode preserves the
+    partitioning, so the distinct-shingle aggregate and every per-doc
+    window/aggregate downstream fuse with ZERO additional exchange — Catalyst's
+    ``HashPartitioning(key)`` satisfies ``ClusteredDistribution(key, shingle)``.
+    Measured at 1M docs (BENCH.md round-5 addendum): trading this corpus-sized
+    shuffle for the shingle-frame distinct exchange is a large net win; partition
+    count never shrinks below the input's (no parallelism loss at scale)."""
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        df.rdd.getNumPartitions(),
+    )
+    return df.repartition(target, key)
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Fan a narrow input out to cluster parallelism BEFORE a row-exploding stage.
 
@@ -336,8 +355,11 @@ def jaccard_pairs(
         .distinct()
     )
     # codegen shingle stream (normalize once -> explode positions -> substring):
-    # exploding an interpreted-transform ARRAY costs ~20 ms/row; this is ~100x faster
-    norm = _spread(
+    # exploding an interpreted-transform ARRAY costs ~20 ms/row; this is ~100x faster.
+    # _spread_keyed: the doc_id hash partitioning FUSES the distinct below and the
+    # sizes aggregate with zero exchange of the ~10x shingle frame (same measured
+    # trade as ngram_jaccard_pairs_exact — BENCH.md round-5 addendum)
+    norm = _spread_keyed(
         df.join(needed, id_col, "left_semi").select(
             F.col(id_col).alias("doc_id"),
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
@@ -755,7 +777,7 @@ def phash_near_dups(images: DataFrame, max_distance: int = 8) -> DataFrame:
     )
 
 
-def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """PPJoin/All-Pairs prefix-filtered candidate pairs from a distinct
     (doc_id, shingle) frame — EXACT for jaccard >= threshold.
 
@@ -769,20 +791,26 @@ def _prefix_candidates(sh: DataFrame, sizes: DataFrame, threshold: float) -> Dat
     blowup never happens; the ε guard on the ceil keeps float t·|X| from rounding
     the required overlap UP (a longer prefix is always complete).
     """
-    # sort-merge hints throughout (measured at 1M docs): freq has one row per
-    # DISTINCT CORPUS SHINGLE (~10x doc count) and its statically-planned
-    # broadcast exhausted the driver ("Not enough memory to build and
-    # broadcast"); a shuffle_hash variant OOM'd on 32 concurrent multi-million-
-    # entry build maps (256 MB array resizes).  SMJ spills gracefully and the
-    # full exact pipeline completes at 1M docs in 486 s with ZERO recall loss.
-    # This operator is not on the driver bench path, so the toy-scale sort cost
-    # is irrelevant; correctness-at-scale wins.
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    # Physical shape (round-5 rework, measured at 1M docs — BENCH.md addendum):
+    # document frequency, per-doc rank, and per-doc size are all WINDOW functions
+    # instead of the former groupBy(freq)+merge-join / groupBy(sizes)+merge-join
+    # pair.  The window-by-shingle pays the same exchange+sort of the shingle
+    # frame the old SMJ side paid, but drops the separate freq-frame aggregate
+    # and sort and BOTH merge joins; with the caller feeding a doc_id-partitioned
+    # frame (see _spread_keyed) the two per-doc windows fuse onto one exchange.
+    # (History: a freq broadcast exhausted the driver at 1M docs — "Not enough
+    # memory to build and broadcast" — and a shuffle_hash variant OOM'd on 32
+    # concurrent multi-million-entry build maps; windows have neither failure
+    # mode.  Not on the driver bench path; correctness-at-scale wins.)
+    w_df = Window.partitionBy("shingle")
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("_df").asc(), F.col("shingle").asc()
+    )
+    w_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(freq.hint("merge"), "shingle")
-        .withColumn("_rn", F.row_number().over(w))
-        .join(sizes.hint("merge"), "doc_id")
+        sh.withColumn("_df", F.count("*").over(w_df))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count("*").over(w_doc))
     )
     alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
@@ -835,7 +863,11 @@ def ngram_jaccard_pairs_exact(
     corpora should unpersist via ``spark.catalog.clearCache()`` between batches
     (the cache is per-call state).
     """
-    norm = _spread(
+    # _spread_keyed: the pre-explode corpus shuffles ONCE by doc_id so that the
+    # distinct below — whose keys (doc_id, shingle) are clustered by doc_id —
+    # and the per-doc windows inside _prefix_candidates need no exchange of the
+    # ~10x-larger shingle frame (measured at 1M docs, BENCH.md round-5 addendum)
+    norm = _spread_keyed(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
@@ -860,7 +892,7 @@ def ngram_jaccard_pairs_exact(
     )
     sh = _persist(sh, storage_level)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = _prefix_candidates(sh, sizes, threshold)
+    cand = _prefix_candidates(sh, threshold)
     # verify: intersection over the FULL shingle sets, restricted to candidates
     # (merge hints: Catalyst statically broadcast the corpus shingle frame `a`
     # here at 1M docs — same estimate trap as jaccard_pairs; not on the bench

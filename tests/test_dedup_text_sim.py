@@ -428,8 +428,7 @@ def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
         .select("doc_id", F.substring(F.col("_norm"), F.col("_i"), F.lit(8)).alias("shingle"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    n_cand = D._prefix_candidates(sh, sizes, t).count()
+    n_cand = D._prefix_candidates(sh, t).count()
     assert n_cand < n * 8, f"prefix filter failed to prune: {n_cand} candidates"
     # exactness on a corpus with planted near-dups + the stop shingle
     texts2 = [(i, t2) for i, t2 in texts[:60]]

@@ -141,3 +141,38 @@ def test_prepared_index_join_plan_shape(spark, tmp_path):
         if "Exchange" in line and "BroadcastExchange" not in line:
             assert "polygon_id" in line, f"point-side shuffle found: {line.strip()}"
     prep.unpersist()
+
+
+def test_ngram_shingle_distinct_fuses_with_keyed_spread(spark):
+    """The round-5 prefix-stage contract: after _spread_keyed(doc_id), the
+    distinct over (doc_id, shingle) — keys clustered by doc_id — must plan with
+    exactly ONE Exchange (the keyed repartition itself), never a second
+    exchange of the ~10x-larger shingle frame."""
+    from geojson_utility_spark.operators import dedup as D
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    norm = D._spread_keyed(
+        docs.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("_norm"),
+        ),
+        "doc_id",
+    )
+    sh = (
+        norm.select(
+            "doc_id",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - 7, F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            "doc_id", F.substring(F.col("_norm"), F.col("_i"), F.lit(8)).alias("shingle")
+        )
+        .distinct()
+    )
+    plan = _plan(sh)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"distinct subtree must fuse to 1 exchange:\n{plan}"
