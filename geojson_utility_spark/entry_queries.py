@@ -14,8 +14,9 @@ parquet tables.  Parity rules learned the hard way (pinned by tests/test_entry.p
   deterministic per-row expression (never an aggregation order).
 
 Queries whose Spark side uses non-SQL machinery (Arrow PIP refinement, xxhash64
-minhash/simhash, image codecs) either get an arithmetic oracle that encodes the same
-semantics (e.g. half-plane tests for a convex polygon) or no oracle (rows-only check).
+minhash/simhash, image codecs) get an arithmetic or literal-expectation oracle that
+encodes the same semantics (half-plane tests, embedded fixture literals, regenerated
+codec expectations) — as of round 5 every entry is oracled; none are rows-only.
 """
 
 from __future__ import annotations
@@ -1969,11 +1970,8 @@ def oracle_rasterize_masks() -> str:
     cover_xint = "({py} - ed.ey1) * (ed.ex2 - ed.ex1) / (ed.ey2 - ed.ey1)"
     pixel_xint = "({py} - ed.ey1) * ((ed.ex2 - ed.ex1) / (ed.ey2 - ed.ey1))"
 
-    tile_edges = ", ".join(
-        f"(w, s, e, s)" if k == 0 else f"(e, s, e, n)" if k == 1
-        else f"(e, n, w, n)" if k == 2 else f"(w, n, w, s)"
-        for k in range(4)
-    )
+    # engine tile-edge order: S, E, N, W (functions/cells.py:polygon_to_cells)
+    tile_edges = "(w, s, e, s), (e, s, e, n), (e, n, w, n), (w, n, w, s)"
 
     return f"""
 WITH edges(pid, ex1, ey1, ex2, ey2) AS (VALUES {', '.join(edge_rows)}),
