@@ -42,6 +42,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def cpu_probe(spark):
+    """Best-of-2 pure-CPU probe (same kernel as bench.py) — bracket every 1M
+    measurement so host phase noise is visible in the record.  The plan is
+    REBUILT per collect: re-collecting one DataFrame object hits Spark 4's
+    result cache and reads ~0.05 s regardless of host state."""
+    from pyspark.sql import functions as F
+
+    def df():
+        r = spark.range(0, 2_000_000_000, 1, int(CPUS) * 8)
+        x = F.col("id")
+        for _ in range(6):
+            x = ((x % F.lit(2147483647)) * F.lit(1103515245).cast("long")
+                 + F.lit(12345)) % F.lit(2147483647)
+        return r.select((x % F.lit(1000)).alias("x")).agg(F.avg("x"))
+
+    df().collect()  # JIT warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df().collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main():
     steps = set((sys.argv[1] if len(sys.argv) > 1 else "1,2,3,4").split(","))
     from pyspark.sql import functions as F
@@ -67,6 +92,7 @@ def main():
                 ).otherwise(F.xxhash64(F.col("id"), s)),
             ).alias("sig"),
         ).localCheckpoint()
+        p_before = cpu_probe(spark)
         t0 = time.perf_counter()
         capped = minhash_candidate_pairs(sigs, n_bands=8, bucket_cap=20_000).count()
         t_capped = time.perf_counter() - t0
@@ -77,6 +103,7 @@ def main():
             "bench": "minhash_cap_bound", "n_sigs": n, "planted_bucket": planted,
             "capped_candidates": capped, "capped_sec": round(t_capped, 2),
             "uncapped_candidates": uncapped, "uncapped_sec": round(t_uncapped, 2),
+            "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
 
     if "2" in steps:
@@ -102,12 +129,14 @@ def main():
                 vec, lambda x, i: x + F.when(F.col("_nudge"), 0.001 * (i % 7)).otherwise(0.0)
             ).alias("embedding"),
         ).localCheckpoint()
+        p_before = cpu_probe(spark)
         t0 = time.perf_counter()
         out = cosine_near_dups(vecs, threshold=0.9, n_bits=24, n_tables=8).count()
         dt = time.perf_counter() - t0
         print(json.dumps({
             "bench": "cosine_1m", "n_vecs": n, "dim": dim,
             "planted_pairs": n_pairs, "result_pairs": out, "sec": round(dt, 2),
+            "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
 
     def synth_docs(n, half):
@@ -125,6 +154,7 @@ def main():
     if "3" in steps:
         n, half = 1_000_000, 500_000
         docs = synth_docs(n, half)
+        p_before = cpu_probe(spark)
         t0 = time.perf_counter()
         out = minhash_near_dups(docs, "text", "doc_id", threshold=0.8,
                                 storage_level="DISK_ONLY").count()
@@ -132,6 +162,7 @@ def main():
         print(json.dumps({
             "bench": "minhash_1m", "n_docs": n, "true_pairs": half,
             "result_pairs": out, "sec": round(dt, 2),
+            "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
 
     if "4" in steps:
@@ -139,6 +170,7 @@ def main():
 
         n, half = 1_000_000, 500_000
         docs = synth_docs(n, half)
+        p_before = cpu_probe(spark)
         t0 = time.perf_counter()
         out = ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8,
                                         storage_level="DISK_ONLY").count()
@@ -146,6 +178,7 @@ def main():
         print(json.dumps({
             "bench": "ngram_1m", "n_docs": n, "true_pairs": half,
             "result_pairs": out, "sec": round(dt, 2),
+            "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
 
     spark.stop()

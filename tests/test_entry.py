@@ -137,3 +137,25 @@ def test_fixture_oracle_margins():
                                np.linalg.norm(cr, axis=1))
     sq = np.sort(qc, axis=1)[:, ::-1]
     assert (sq[:, 3] - sq[:, 4]).min() > 1e-6         # probe-4 set stability
+
+
+def test_rasterize_oracle_builder_matches_normalizer_validity(spark):
+    """The rasterize_masks oracle excludes invalid fixture rings via an
+    INDEPENDENT bow-tie check (stdlib json + proper-intersection loops).  Pin
+    that its polygon set equals the engine normalizer's valid set, so a fixture
+    change that adds a new invalid-ring class fails here instead of as a driver
+    row-count mismatch."""
+    import re
+
+    from geojson_utility_spark import fixtures as FX
+    from geojson_utility_spark.operators.spatial_join import normalize_polygons
+
+    polys = spark.createDataFrame(FX.make_polygons(20)[["polygon_id", "geojson"]])
+    valid = {
+        r["polygon_id"]
+        for r in normalize_polygons(polys).filter("poly_errors = ''").collect()
+    }
+    sql = ORACLES["rasterize_masks"]
+    edges_vals = sql.split("edges(pid, ex1, ey1, ex2, ey2) AS (VALUES", 1)[1]
+    oracle_pids = set(re.findall(r"'(poly_\d+)'", edges_vals.split("),\nverts")[0]))
+    assert oracle_pids == valid
