@@ -36,6 +36,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def _reclaim(spark: SparkSession) -> None:
+    """Unpersist every cached frame left by EARLIER entries.  The driver runs all
+    50 entries sequentially in ONE session; the persisting pipelines (shingle
+    frames, candidate caches) would otherwise accumulate across entries —
+    measured: a default-heap (1g) bare session OOMs around entry ~36, with or
+    without the round-5 shingle rework.  By the time entry N runs, the driver
+    has already collected entry N-1's result, so dropping those caches is pure
+    reclamation (nothing can trigger a recompute).  Called at the START of the
+    heavy pipelines only — cheap entries leave the session untouched."""
+    spark.catalog.clearCache()
+
+
 def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -1240,6 +1252,7 @@ def _jaccard_oracle_sql(threshold: float, shingle_n: int = 8) -> str:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reclaim(spark)
     from geojson_utility_spark.operators.dedup import minhash_near_dups
 
     register_views(spark, sf_dir)
@@ -1256,6 +1269,7 @@ def oracle_minhash_near_dups() -> str:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reclaim(spark)
     from geojson_utility_spark.operators.dedup import ngram_jaccard_pairs_exact
 
     register_views(spark, sf_dir)
@@ -1272,6 +1286,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collapse step a dedup pipeline runs after any pair operator.  Edges are
     the EXACT ngram-Jaccard pairs (already oracled standalone), so the oracle is
     a recursive min-label propagation over the same exact pair set."""
+    _reclaim(spark)
     from geojson_utility_spark.operators.dedup import (
         dedup_components,
         ngram_jaccard_pairs_exact,
@@ -1279,7 +1294,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     docs = spark.table("documents")
-    pairs = ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8)
+    # DISK_ONLY: this entry re-runs the whole ngram pipeline AND holds the
+    # components checkpoints; keeping the shingle cache off-heap is what lets
+    # the full 50-entry sequence fit a default-heap (1g) driver session
+    pairs = ngram_jaccard_pairs_exact(
+        docs, "text", "doc_id", threshold=0.8, storage_level="DISK_ONLY"
+    )
     return dedup_components(pairs)
 
 
@@ -1307,6 +1327,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a training-data pipeline actually materializes, not the quadratic
     pair list.  Each stage is also oracled standalone (``minhash_near_dups``,
     ``dedup_components``); this entry pins their COMPOSITION end-to-end."""
+    _reclaim(spark)
     from geojson_utility_spark.operators.dedup import (
         dedup_components,
         minhash_near_dups,
@@ -1314,7 +1335,9 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     docs = spark.table("documents")
-    pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.5)
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, storage_level="DISK_ONLY"
+    )
     comps = dedup_components(pairs)
     keep = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
@@ -1419,6 +1442,7 @@ def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
     column — exercises the guaranteed-recall hamming_pairs machinery (the shared
     engine under simhash/phash near-dups) against a hard brute-force oracle."""
+    _reclaim(spark)
     from functools import reduce
     from operator import add
 
@@ -1724,6 +1748,7 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sf embeddings have no pair above cosine 0.52 — an empty probe would be
     weak), verified against the candidate-contract oracle: pairs sharing any
     (table, signature) bucket with exact cosine >= threshold."""
+    _reclaim(spark)
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.similarity import cosine_near_dups
 
@@ -1789,6 +1814,7 @@ def q_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     and list blocking is the right tool.  train_size >= N keeps the deterministic
     sample == the full id-sorted fixture, so the oracle can reproduce the
     quantizer exactly."""
+    _reclaim(spark)
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.similarity import ivf_near_dups
 
@@ -1849,6 +1875,7 @@ def oracle_ivf_near_dups() -> str:
 
 
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reclaim(spark)
     from geojson_utility_spark import fixtures as FX
     from geojson_utility_spark.operators.dedup import phash_near_dups
     from geojson_utility_spark.schemas import IMAGES_SCHEMA
