@@ -159,3 +159,54 @@ def test_rasterize_oracle_builder_matches_normalizer_validity(spark):
     edges_vals = sql.split("edges(pid, ex1, ey1, ex2, ey2) AS (VALUES", 1)[1]
     oracle_pids = set(re.findall(r"'(poly_\d+)'", edges_vals.split("),\nverts")[0]))
     assert oracle_pids == valid
+
+
+def test_media_oracle_phash_margins():
+    """The media_decode_verify oracle predicts fake-jpeg phash_ok by simulating
+    the px//2*2 quantization and re-deriving the average-hash.  That equality
+    is deterministic only while no 8x8 block mean sits within float noise of
+    the median (a strict-> comparison would then depend on summation order).
+    Pin the margins over every fixture image, original AND quantized, so a
+    fixture/pattern change that lands on the knife edge fails HERE."""
+    import numpy as np
+
+    from geojson_utility_spark import fixtures as FX
+
+    def block_margin(px):
+        gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        blocks = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                blocks[i, j] = gray[
+                    ys[i]: max(ys[i + 1], ys[i] + 1), xs[j]: max(xs[j + 1], xs[j] + 1)
+                ].mean()
+        med = np.median(blocks)
+        nz = np.abs(blocks - med)
+        nz = nz[nz > 0.0]
+        return nz.min() if nz.size else np.inf
+
+    def regen(r):
+        yy, xx = np.mgrid[0: r.h, 0: r.w]
+        h = 0xCBF29CE484222325
+        for b in r.image_id.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        phase = h % 256
+        return np.stack(
+            [
+                (xx * 255 // max(r.w - 1, 1) + phase) % 256,
+                (yy * 255 // max(r.h - 1, 1)) % 256,
+                (xx + yy + phase) % 256,
+            ],
+            axis=2,
+        ).astype(np.uint8)
+
+    worst = np.inf
+    for r in FX.make_images(200).itertuples():
+        px = regen(r)
+        worst = min(worst, block_margin(px))
+        if r.fmt == "jpeg":
+            worst = min(worst, block_margin((px // 2 * 2).astype(np.uint8)))
+    assert worst > 1e-9, f"phash median margin too small: {worst}"
