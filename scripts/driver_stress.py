@@ -13,11 +13,11 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 from geojson_utility_spark.entry_queries import TABLES
 
-spark = (
-    SparkSession.builder.master("local[32]")
-    .appName("driver_dryrun")
-    .getOrCreate()
-)
+_mem = __import__("os").environ.get("DRIVER_STRESS_MEM")  # absent = JVM default (~1g)
+_b = SparkSession.builder.master("local[32]").appName("driver_dryrun")
+if _mem:
+    _b = _b.config("spark.driver.memory", _mem)
+spark = _b.getOrCreate()
 sf = "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in TABLES:
