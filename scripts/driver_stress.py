@@ -2,6 +2,7 @@
 default), all 50 queries() entries at sf0.01 vs oracle_sql() in DuckDB,
 canon = sorted columns, sorted rows, int64-normalized, exact values."""
 import json
+import os
 import sys
 import time
 
@@ -13,7 +14,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as E
 from geojson_utility_spark.entry_queries import TABLES
 
-_mem = __import__("os").environ.get("DRIVER_STRESS_MEM")  # absent = JVM default (~1g)
+_mem = os.environ.get("DRIVER_STRESS_MEM")  # absent = JVM default (~1g)
 _b = SparkSession.builder.master("local[32]").appName("driver_dryrun")
 if _mem:
     _b = _b.config("spark.driver.memory", _mem)
