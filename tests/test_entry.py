@@ -210,3 +210,17 @@ def test_media_oracle_phash_margins():
         if r.fmt == "jpeg":
             worst = min(worst, block_margin((px // 2 * 2).astype(np.uint8)))
     assert worst > 1e-9, f"phash median margin too small: {worst}"
+
+
+def test_heavy_entries_reclaim_session_cache(spark):
+    """The heap hardening contract: heavy entries clearCache() on entry so the
+    driver's 50-entry sequence cannot accumulate persisted state (BENCH.md
+    round-5 addendum 3).  Pin one representative entry."""
+    from pyspark.sql import functions as F
+
+    leftover = spark.range(0, 10).select(F.col("id").alias("x")).cache()
+    leftover.count()
+    assert leftover.storageLevel.useMemory  # registered before the entry runs
+    ALL_QUERIES["minhash_near_dups"](spark, "/root/testdata/sf0.001")
+    # building the entry's frame (no action needed) must have dropped the cache
+    assert not leftover.storageLevel.useMemory and not leftover.storageLevel.useDisk
