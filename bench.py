@@ -132,29 +132,15 @@ def main():
     _docs_warm = spark.table("documents").limit(300)
     _mh(_docs_warm, "text", "doc_id", 0.5).count()
     _sh(_docs_warm, "text", "doc_id").count()
-    # host-noise normalizer: a fixed pure-CPU probe (whole-stage-codegen
-    # arithmetic over spark.range — zero I/O, zero engine code) measured with the
-    # same best-of-2 rule.  The sandbox VM has multi-hour phases where EVERYTHING
-    # runs ~1.8x slower (probe measured 19.6 s fast phase vs 35.1 s slow phase at
-    # 20G rows); cross-round comparisons should use query_time / cpu_probe ratios,
-    # not absolute seconds.  Scaled to ~2 s so it never dominates the bench.
-    from pyspark.sql import functions as _F
+    # host-noise normalizer: the SHARED pure-CPU probe (whole-stage-codegen
+    # arithmetic over spark.range — zero I/O, zero engine code), same best-of-2
+    # rule.  The sandbox VM has multi-hour phases where EVERYTHING runs ~1.8x
+    # slower; cross-round comparisons should use query_time / cpu_probe ratios,
+    # not absolute seconds.  One kernel definition for every record:
+    # geojson_utility_spark/hostprobe.py.
+    from geojson_utility_spark.hostprobe import cpu_probe_best
 
-    def _cpu_probe():
-        r = spark.range(0, 2_000_000_000, 1, int(CPUS) * 8)
-        x = _F.col("id")
-        for _ in range(6):
-            x = ((x % _F.lit(2147483647)) * _F.lit(1103515245).cast("long")
-                 + _F.lit(12345)) % _F.lit(2147483647)
-        return r.select((x % _F.lit(1000)).alias("x")).agg(_F.avg("x"))
-
-    _cpu_probe().collect()  # JIT warm
-    probe_best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _cpu_probe().collect()
-        dt = time.perf_counter() - t0
-        probe_best = dt if probe_best is None else min(probe_best, dt)
+    probe_best = cpu_probe_best(spark, int(CPUS))
 
     times: dict[str, float] = {}
     join_rows = 0

@@ -1984,7 +1984,9 @@ def oracle_rasterize_masks() -> str:
 
     ys = np.asarray(sorted(y_needed), dtype=np.float64)
     lats = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * ys / float(n_tiles)))))
-    ylat_rows = [f"({int(y)}, {lat!r})" for y, lat in zip(ys, lats)]
+    # float() first: repr(np.float64) under numpy >= 2.0 is "np.float64(...)",
+    # which would land verbatim in the VALUES list and break the SQL parse
+    ylat_rows = [f"({int(y)}, {float(lat)!r})" for y, lat in zip(ys, lats)]
 
     # half-open even-odd crossing term; `xint` spelled with the engine's exact op
     # order at each site (cover: mul-then-div; pixel kernel: precomputed slope).
@@ -2404,7 +2406,6 @@ def oracle_enrich_locations() -> str:
 # Contract: the flagship leads, every oracled entry precedes every rows-only entry,
 # and len(queries()) <= 50 so nothing is silently dropped.  tests/test_entry.py
 # pins all three properties.  As of round 5 every entry is oracled (rows-only: none).
-_ROWS_ONLY: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,14 +25,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def cpu_probe(spark):
-    from pyspark.sql import functions as F
+    """The shared probe PLAN (geojson_utility_spark/hostprobe.py) — this script
+    times single collects itself, so it returns the DataFrame, not a best-of."""
+    from geojson_utility_spark.hostprobe import cpu_probe_df
 
-    r = spark.range(0, 2_000_000_000, 1, int(CPUS) * 8)
-    x = F.col("id")
-    for _ in range(6):
-        x = ((x % F.lit(2147483647)) * F.lit(1103515245).cast("long")
-             + F.lit(12345)) % F.lit(2147483647)
-    return r.select((x % F.lit(1000)).alias("x")).agg(F.avg("x"))
+    return cpu_probe_df(spark, int(CPUS))
 
 
 def main():

@@ -43,28 +43,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def cpu_probe(spark):
-    """Best-of-2 pure-CPU probe (same kernel as bench.py) — bracket every 1M
-    measurement so host phase noise is visible in the record.  The plan is
-    REBUILT per collect: re-collecting one DataFrame object hits Spark 4's
-    result cache and reads ~0.05 s regardless of host state."""
-    from pyspark.sql import functions as F
+    """Best-of-2 shared pure-CPU probe (geojson_utility_spark/hostprobe.py) —
+    bracket every 1M measurement so host phase noise is visible in the record."""
+    from geojson_utility_spark.hostprobe import cpu_probe_best
 
-    def df():
-        r = spark.range(0, 2_000_000_000, 1, int(CPUS) * 8)
-        x = F.col("id")
-        for _ in range(6):
-            x = ((x % F.lit(2147483647)) * F.lit(1103515245).cast("long")
-                 + F.lit(12345)) % F.lit(2147483647)
-        return r.select((x % F.lit(1000)).alias("x")).agg(F.avg("x"))
-
-    df().collect()  # JIT warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        df().collect()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+    return round(cpu_probe_best(spark, int(CPUS)), 3)
 
 
 def main():

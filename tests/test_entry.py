@@ -212,7 +212,7 @@ def test_media_oracle_phash_margins():
     assert worst > 1e-9, f"phash median margin too small: {worst}"
 
 
-def test_heavy_entries_reclaim_session_cache(spark):
+def test_heavy_entries_reclaim_session_cache(spark, sf_dir):
     """The heap hardening contract: heavy entries clearCache() on entry so the
     driver's 50-entry sequence cannot accumulate persisted state (BENCH.md
     round-5 addendum 3).  Pin one representative entry."""
@@ -221,6 +221,6 @@ def test_heavy_entries_reclaim_session_cache(spark):
     leftover = spark.range(0, 10).select(F.col("id").alias("x")).cache()
     leftover.count()
     assert leftover.storageLevel.useMemory  # registered before the entry runs
-    ALL_QUERIES["minhash_near_dups"](spark, "/root/testdata/sf0.001")
+    ALL_QUERIES["minhash_near_dups"](spark, sf_dir)
     # building the entry's frame (no action needed) must have dropped the cache
     assert not leftover.storageLevel.useMemory and not leftover.storageLevel.useDisk
