@@ -21,6 +21,7 @@ codec expectations) — as of round 5 every entry is oracled; none are rows-only
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,7 +45,14 @@ def _reclaim(spark: SparkSession) -> None:
     without the round-5 shingle rework.  By the time entry N runs, the driver
     has already collected entry N-1's result, so dropping those caches is pure
     reclamation (nothing can trigger a recompute).  Called at the START of the
-    heavy pipelines only — cheap entries leave the session untouched."""
+    heavy pipelines only — cheap entries leave the session untouched.
+
+    The clearCache() is session-global: safe ONLY under the sequential
+    collect-then-construct contract above.  A harness that constructs entries
+    concurrently (or interleaves them with its own cached frames) must set
+    ``SPARK_GRAFT_NO_RECLAIM=1`` to disable it and manage heap itself."""
+    if os.environ.get("SPARK_GRAFT_NO_RECLAIM") == "1":
+        return
     spark.catalog.clearCache()
 
 
@@ -2011,8 +2019,8 @@ cx AS (SELECT pid, unnest(generate_series(x0, x1)) AS x, y0, y1 FROM rngs),
 cand AS (SELECT pid, x, unnest(generate_series(y0, y1)) AS y FROM cx),
 bounds AS (
   SELECT c.pid, c.x, c.y,
-         c.x / 4096.0 * 360.0 - 180.0 AS w,
-         (c.x + 1) / 4096.0 * 360.0 - 180.0 AS e,
+         c.x / {float(n_tiles)} * 360.0 - 180.0 AS w,
+         (c.x + 1) / {float(n_tiles)} * 360.0 - 180.0 AS e,
          ys.lat AS s, yn.lat AS n
   FROM cand c
   JOIN ylat yn ON yn.y = c.y

@@ -104,6 +104,83 @@ def test_reservoir_exact_k_and_deterministic(spark, orders, family):
     assert a == b
 
 
+def test_seed_composition_single_string(spark):
+    """Both families hash the single string key||':'||seed — the one
+    composition an external engine (or the pure-Python XXH64) can reproduce.
+    Pin the xxhash64 family against an explicit single-string hash."""
+    from geojson_utility_spark.operators.sampling import _BUCKETS, _bucket
+
+    df = spark.createDataFrame([("abc",), ("42",)], "k string")
+    got = df.select(
+        _bucket(F.col("k"), 7, "xxhash64").alias("b"),
+        F.pmod(F.xxhash64(F.concat(F.col("k"), F.lit(":7"))), F.lit(_BUCKETS)).alias(
+            "want"
+        ),
+    ).collect()
+    assert all(r.b == r.want for r in got)
+
+
+def test_reservoir_prefilter_two_phase_matches_full_sort(spark, orders):
+    """The extreme-N escape must return EXACTLY the unfiltered rank result.
+    Force it on (threshold via n_hint) at boundary ks and compare."""
+    for k in (1, 5, 37):
+        full = sorted(
+            (r.o_orderpriority, r.o_orderkey)
+            for r in reservoir_k(
+                orders, "o_orderpriority", "o_orderkey", k=k, seed=7, n_hint=1
+            ).collect()
+        )
+        pre = sorted(
+            (r.o_orderpriority, r.o_orderkey)
+            for r in reservoir_k(
+                orders,
+                "o_orderpriority",
+                "o_orderkey",
+                k=k,
+                seed=7,
+                n_hint=10**12,  # pretend strata are huge -> engage pre-filter
+            ).collect()
+        )
+        assert full == pre, f"two-phase diverged at k={k}"
+
+
+def test_reservoir_prefilter_plan_and_underfill(spark, orders):
+    """With a huge n_hint the plan must contain the bucket pre-filter (a
+    pushed filter over the hash bucket, BEFORE the rank window), and a
+    stratum whose survivors under-fill must still return exactly k rows."""
+    out = reservoir_k(
+        orders, "o_orderpriority", "o_orderkey", k=3, seed=7, n_hint=10**12
+    )
+    # n_hint=1e12 with expected=max(2k, k+10*sqrt(k)) -> threshold 1 bucket of
+    # 1e6: at sf0.01 (~15k orders) nearly every stratum under-fills, so the
+    # union fallback branch runs — and must still produce exact-k everywhere.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "Filter" in plan, plan[:2000]
+    sizes = {
+        r.o_orderpriority: r.n
+        for r in out.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sizes == {g: min(3, n) for g, n in base.items()}
+
+
+def test_reservoir_temp_col_collision_guard(spark):
+    """An input column literally named _rk must survive untouched."""
+    df = spark.createDataFrame(
+        [("a", i, f"v{i}") for i in range(10)], "g string, k long, _rk string"
+    )
+    out = reservoir_k(df, "g", "k", k=4, n_hint=10)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert set(out.columns) == {"g", "k", "_rk"}
+    assert all(r._rk == f"v{r.k}" for r in rows)
+
+
 def test_sampling_validation():
     from geojson_utility_spark.operators.sampling import _bucket, _threshold
 
