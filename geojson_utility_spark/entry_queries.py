@@ -1447,14 +1447,24 @@ def oracle_sample_stratified() -> str:
 
 
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-LSH hamming near-dup pairs over a 32-bit sign signature of the embedding
-    column — exercises the guaranteed-recall hamming_pairs machinery (the shared
-    engine under simhash/phash near-dups) against a hard brute-force oracle."""
+    """BOTH hamming pair engines over a 32-bit sign signature of the embedding
+    column, tag-unioned (the r5 branch pattern):
+
+    - variant='exact'  — :func:`hamming_pairs` (pigeonhole exact chunks +
+      hot-bucket refinement), d <= 6: the moderate-N engine under simhash/phash
+      near-dups.
+    - variant='probed' — :func:`hamming_pairs_probed` (wide chunks + 1-bit
+      multi-probe), d <= 5 with its default c=3 chunks (guarantee d <= 2c-1=5):
+      the large-N engine, previously pytest-only (r5 VERDICT gap #5).
+
+    Both branches guarantee FULL recall at their thresholds, so one brute-force
+    bit_count(xor) oracle per threshold is a hard equality check — any missed
+    candidate, probe-flip bug, or chunk-bound error is a hash mismatch."""
     _reclaim(spark)
     from functools import reduce
     from operator import add
 
-    from geojson_utility_spark.operators.dedup import hamming_pairs
+    from geojson_utility_spark.operators.dedup import hamming_pairs, hamming_pairs_probed
 
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -1465,9 +1475,13 @@ def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(32)
     ]
     sigs = emb.select("vec_id", reduce(add, terms).alias("sig"))
-    return hamming_pairs(sigs, "vec_id", "sig", max_distance=6, n_bits=32).select(
-        "id_a", "id_b", "hamming"
+    exact = hamming_pairs(sigs, "vec_id", "sig", max_distance=6, n_bits=32).select(
+        F.lit("exact").alias("variant"), "id_a", "id_b", "hamming"
     )
+    probed = hamming_pairs_probed(
+        sigs, "vec_id", "sig", max_distance=5, n_bits=32
+    ).select(F.lit("probed").alias("variant"), "id_a", "id_b", "hamming")
+    return exact.unionByName(probed)
 
 
 def oracle_hamming_near_dups() -> str:
@@ -1475,11 +1489,13 @@ def oracle_hamming_near_dups() -> str:
         f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(32)
     )
     return (
-        f"WITH sigs AS (SELECT vec_id, ({bits})::BIGINT AS sig FROM embeddings) "
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"WITH sigs AS (SELECT vec_id, ({bits})::BIGINT AS sig FROM embeddings), "
+        "bf AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "bit_count(xor(a.sig, b.sig)) AS hamming "
-        "FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id "
-        "WHERE bit_count(xor(a.sig, b.sig)) <= 6"
+        "FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id) "
+        "SELECT 'exact' AS variant, id_a, id_b, hamming FROM bf WHERE hamming <= 6 "
+        "UNION ALL "
+        "SELECT 'probed' AS variant, id_a, id_b, hamming FROM bf WHERE hamming <= 5"
     )
 
 
