@@ -54,6 +54,21 @@ def _reclaim(spark: SparkSession) -> None:
     if os.environ.get("SPARK_GRAFT_NO_RECLAIM") == "1":
         return
     spark.catalog.clearCache()
+    from geojson_utility_spark.operators.dedup import cleanup_shingle_tables
+
+    cleanup_shingle_tables(spark)
+    # Minimal-heap hardening (r6): in a bare default-heap session (~1g, the
+    # driver-stress envelope) the composite pipelines' localCheckpoint blocks
+    # compete with the 32-thread execution pool for a ~300 MB storage budget.
+    # Setting a checkpoint dir switches every dedup _stage_checkpoint to a
+    # RELIABLE disk checkpoint (heap-neutral, restart-survivable).  Driver runs
+    # with real heap keep the faster localCheckpoint path.
+    sc = spark.sparkContext
+    if (
+        not sc._jsc.sc().getCheckpointDir().isDefined()
+        and sc._jvm.java.lang.Runtime.getRuntime().maxMemory() < 1600 * 1024 * 1024
+    ):
+        sc.setCheckpointDir(f"/tmp/gjus_ckpt_{os.getpid()}")
 
 
 def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:

@@ -20,7 +20,9 @@ in (vectorized) expressions or Arrow batches.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
+from itertools import count
 from operator import and_
 
 from pyspark.sql import DataFrame, Window
@@ -87,7 +89,7 @@ def _capped_self_pairs(
     # then read the materialized partitions instead of re-evaluating the
     # banding/assignment subtree (measured at sf0.1: recompute 4.4 s vs
     # checkpoint 2.8 s for the full minhash near-dup pipeline)
-    banded = banded.localCheckpoint(eager=False)
+    banded = _stage_checkpoint(banded, eager=False)
 
     def pair_sel(joined: DataFrame) -> DataFrame:
         sel = [
@@ -158,6 +160,102 @@ def _persist(df: DataFrame, storage_level: str):
     return df.persist(getattr(StorageLevel, storage_level))
 
 
+#: Bucketed shingle tables created by :func:`_materialize_shingles` (name ->
+#: still-registered).  Sequential pipelines overwrite nothing: every call gets
+#: a fresh table name; call :func:`cleanup_shingle_tables` (the heavy entries'
+#: ``_reclaim`` does) to drop them once their pipeline has been consumed.
+_BUCKETED_SHINGLE_TABLES: list[str] = []
+_BUCKETED_SEQ = count()
+
+
+def _materialize_shingles(
+    sh: DataFrame, store: str, storage_level: str, n_buckets: int
+):
+    """Materialize the distinct-shingle frame and return a REF FACTORY.
+
+    store='persist': one persisted frame, every consumer shares the object —
+    the classic plan, but Catalyst re-resolves the cached frame's attributes at
+    the second self-join reference, severing the output-partitioning link, so
+    the ~10x-corpus b-side of the verify join gets re-exchanged (measured,
+    BENCH.md round-5 addendum; the subset co-partitioning fix is impossible for
+    cached self-joins in current Catalyst).
+
+    store='bucketed': write the frame ONCE as a parquet table bucketed+sorted
+    by doc_id (EAGER — same documented trade as the adaptive cap), then hand
+    every consumer its OWN ``spark.table()`` read.  Each scan carries bucket
+    partitioning on its own attribute ids, so per-doc aggregates and the
+    verify join's shingle side need NO exchange — physical bucketing is the
+    standard escape from the cached-self-join re-resolution.  The write lands
+    in ``spark.sql.warehouse.dir``; corpus-scale clusters must point that at
+    durable shared storage (the same contract as any Spark managed table).
+
+    The bucket count equals the pre-write hash partitioning's count, so every
+    write task holds exactly one bucket — no per-task file explosion."""
+    from pyspark import StorageLevel
+
+    if not hasattr(StorageLevel, storage_level):
+        # validate even in bucketed mode (where the level is inert): a typo'd
+        # level must fail loudly, not silently when the caller flips stores
+        raise ValueError(f"unknown storage_level {storage_level!r}")
+    spark = sh.sparkSession
+    if store == "persist":
+        p = _persist(sh, storage_level)
+        return lambda: p
+    if store != "bucketed":
+        raise ValueError(f"unknown shingle_store {store!r}")
+    # pid in the name: a killed session leaves its warehouse dir behind, and a
+    # managed CREATE over a stale non-empty location fails — fresh pid, no clash
+    tbl = f"gjus_shingles_{os.getpid()}_{next(_BUCKETED_SEQ)}"
+    (
+        sh.write.mode("errorifexists")
+        .format("parquet")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id", "shingle")
+        .saveAsTable(tbl)
+    )
+    _BUCKETED_SHINGLE_TABLES.append(tbl)
+    return lambda: spark.table(tbl)
+
+
+def cleanup_shingle_tables(spark) -> None:
+    """Drop every bucketed shingle table materialized so far (managed tables —
+    DROP deletes the warehouse files).  Safe only once their pipelines have
+    been fully consumed (the sequential driver contract; see ``_reclaim``)."""
+    while _BUCKETED_SHINGLE_TABLES:
+        tbl = _BUCKETED_SHINGLE_TABLES.pop()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def _stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint, upgraded to a RELIABLE checkpoint when the session has
+    a checkpoint dir set (``sc.setCheckpointDir``).
+
+    localCheckpoint blocks live in executor storage memory (MEMORY_AND_DISK) —
+    fine at normal heap, but they compete with the 32-thread execution pool in
+    a minimal-heap driver (the 1g stress-harness OOM class, BENCH.md round-5
+    addendum 3), and they are lost on executor failure.  A reliable checkpoint
+    writes the partitions to the checkpoint filesystem instead: heap-neutral,
+    restart-survivable — the production choice for a 10^9-doc components loop
+    (the north rule's "resumable from checkpoint").  Low-heap sessions are
+    auto-detected by the heavy driver entries (see entry_queries._reclaim),
+    which set a /tmp checkpoint dir before building the composite pipelines."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _parallel_target(df: DataFrame) -> int:
+    """The partition count :func:`_spread_keyed` shuffles to (and the bucket
+    count :func:`_materialize_shingles` must match)."""
+    spark = df.sparkSession
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        df.rdd.getNumPartitions(),
+    )
+
+
 def _spread_keyed(df: DataFrame, key: str) -> DataFrame:
     """Hash-partition the narrow pre-explode frame by ``key`` — unlike
     :func:`_spread` this ALWAYS shuffles, and shuffles the CHEAP side: the frame
@@ -168,13 +266,7 @@ def _spread_keyed(df: DataFrame, key: str) -> DataFrame:
     Measured at 1M docs (BENCH.md round-5 addendum): trading this corpus-sized
     shuffle for the shingle-frame distinct exchange is a large net win; partition
     count never shrinks below the input's (no parallelism loss at scale)."""
-    spark = df.sparkSession
-    target = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-        df.rdd.getNumPartitions(),
-    )
-    return df.repartition(target, key)
+    return df.repartition(_parallel_target(df), key)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -340,6 +432,7 @@ def jaccard_pairs(
     pairs: DataFrame,
     shingle_n: int = 8,
     storage_level: str = "MEMORY_AND_DISK",
+    shingle_store: str = "bucketed",
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs.
 
@@ -348,6 +441,18 @@ def jaccard_pairs(
     sizes via two codegen equi-joins + a count.  Never ``array_intersect``: Spark's
     array set ops on large string arrays are interpreted per-element and cost ~15 ms
     per 600x600 pair — orders of magnitude slower than the join plan.
+
+    ``shingle_store='bucketed'`` (the default, r6-measured) materializes the
+    distinct-shingle frame as a doc_id-bucketed parquet table instead of a
+    persisted cache (see :func:`_materialize_shingles`): every consumer scan
+    then carries bucket partitioning, so the verify join's second
+    (~10x-corpus) shingle reference is never re-exchanged and joins sort-free
+    via SMJ (requires the session's subset-co-partition conf — session.py).
+    Measured at 1M docs, ABAB probe-bracketed: minhash pipeline 76.9 -> 47.3 s,
+    ngram exact 144-158 -> 60-66 s, identical pair outputs.  EAGER (the write
+    happens at call time) and leaves a managed table behind; drop via
+    :func:`cleanup_shingle_tables` when done.  ``'persist'`` keeps the lazy
+    single-session cache plan.
     """
     needed = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -382,10 +487,12 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    sh_ex = _persist(sh_ex, storage_level)
-    sizes = sh_ex.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ex_a = sh_ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    ex_b = sh_ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ref = _materialize_shingles(
+        sh_ex, shingle_store, storage_level, _parallel_target(norm)
+    )
+    sizes = ref().groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ex_a = ref().select(F.col("doc_id").alias("doc_a"), "shingle")
+    ex_b = ref().select(F.col("doc_id").alias("doc_b"), "shingle")
     # shuffle_hash hint on the exploded (pairs x shingles) intermediate:
     # Catalyst sizes it from the SMALL pairs side and statically plans the
     # second join as a broadcast of the intermediate — |pairs| * |doc| rows,
@@ -394,9 +501,13 @@ def jaccard_pairs(
     # (probe-normalized 1.18 vs 1.18 unhinted at sf0.1) and the 1M-doc pipeline
     # completes in 72.7 s.  Per-partition build maps assume the cluster sizes
     # shuffle partitions to fit executor memory (standard Spark contract).
+    # Bucketed mode replaces it with merge: the bucketed+sorted ex_b side joins
+    # with zero exchange AND zero sort, and SMJ spills gracefully on the
+    # intermediate side at any scale (closes the large-build-side risk).
+    second_hint = "merge" if shingle_store == "bucketed" else "shuffle_hash"
     inter = (
         pairs.join(ex_a, "doc_a")
-        .hint("shuffle_hash")
+        .hint(second_hint)
         .join(ex_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -428,15 +539,20 @@ def minhash_near_dups(
     shingle_n: int = 8,
     bucket_cap: int | None = 20_000,
     storage_level: str = "MEMORY_AND_DISK",
+    shingle_store: str = "bucketed",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
     Jaccard verify -> pairs over threshold.  ``bucket_cap`` bounds degenerate band
     buckets (see :func:`minhash_candidate_pairs` for the recall contract);
     ``storage_level`` is the verify stage's shingle-cache knob (``DISK_ONLY`` for
-    corpus-scale runs — see :func:`_persist`)."""
+    corpus-scale runs — see :func:`_persist`); ``shingle_store='bucketed'``
+    swaps the verify stage's shingle cache for a doc_id-bucketed table (see
+    :func:`jaccard_pairs`)."""
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).localCheckpoint()
+    sigs = _stage_checkpoint(
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    )
     # the count is near-free on the checkpointed frame and lets the banding skip
     # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot);
     # not needed at all in the uncapped mode
@@ -447,7 +563,13 @@ def minhash_near_dups(
         sigs, n_bands, bucket_cap=bucket_cap, n_docs=n_docs
     ).cache()
     return jaccard_pairs(
-        df, text_col, id_col, cands, shingle_n, storage_level=storage_level
+        df,
+        text_col,
+        id_col,
+        cands,
+        shingle_n,
+        storage_level=storage_level,
+        shingle_store=shingle_store,
     ).filter(F.col("jaccard") >= threshold)
 
 
@@ -485,13 +607,13 @@ def dedup_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    labels = (
+    edges = _stage_checkpoint(edges, eager=False)
+    labels = _stage_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=False)
+        .select("node", F.col("node").alias("component")),
+        eager=False,
     )
     converged = False
     try:
@@ -503,8 +625,8 @@ def dedup_components(
                 msgs.unionByName(labels)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .localCheckpoint()
             )
+            new_labels = _stage_checkpoint(new_labels)
             changed = (
                 new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
                 .filter(F.col("component") != F.col("_old"))
@@ -842,6 +964,7 @@ def ngram_jaccard_pairs_exact(
     threshold: float,
     shingle_n: int = 8,
     storage_level: str = "MEMORY_AND_DISK",
+    shingle_store: str = "bucketed",
 ) -> DataFrame:
     """EXACT all-pairs character n-gram Jaccard >= threshold — prefix-filtered
     inverted-index join (PPJoin-style), never the N^2 cross product.
@@ -890,15 +1013,18 @@ def ngram_jaccard_pairs_exact(
         )
         .distinct()
     )
-    sh = _persist(sh, storage_level)
+    ref = _materialize_shingles(sh, shingle_store, storage_level, _parallel_target(norm))
+    sh = ref()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, threshold)
     # verify: intersection over the FULL shingle sets, restricted to candidates
     # (merge hints: Catalyst statically broadcast the corpus shingle frame `a`
     # here at 1M docs — same estimate trap as jaccard_pairs; not on the bench
-    # path, so SMJ everywhere)
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # path, so SMJ everywhere).  In bucketed mode `a` and `b` are INDEPENDENT
+    # table reads, each carrying its own bucket partitioning — the b-side
+    # joins with no exchange and no sort.
+    a = ref().select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ref().select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         cand.join(a.hint("merge"), "doc_a")
         .hint("merge")

@@ -52,6 +52,16 @@ def get_spark(
         # join hints at the three sites where Catalyst's static estimates were
         # measured to plan catastrophic broadcasts (see dedup.py comments).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Subset co-partitioning (r6, measured): allow a join to reuse a child
+        # already hash-partitioned on a SUBSET of the join keys (Spark 3.3+
+        # defaults this to true = all-keys-required).  With it, the bucketed
+        # shingle table (bucketBy doc_id) joins on (doc_id, shingle) with ZERO
+        # exchange — the planner otherwise disables the bucketed scan and
+        # re-shuffles the ~10x-corpus verify side (measured at 1M docs:
+        # 76.9 s -> 47.3 s for the full minhash pipeline; plan evidence in
+        # BENCH.md round-6).  The known trade (possible skew when the subset
+        # key is low-cardinality) is covered by AQE skew-join splitting.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

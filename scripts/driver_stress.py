@@ -19,7 +19,11 @@ _b = SparkSession.builder.master("local[32]").appName("driver_dryrun")
 if _mem:
     _b = _b.config("spark.driver.memory", _mem)
 spark = _b.getOrCreate()
-sf = "/root/testdata/sf0.01"
+# DRIVER_STRESS_SF: run the sweep at another scale (e.g. sf0.1 to prove the
+# data-coupled oracles off sf0.01).  The data-coupled oracle builders read
+# SPARK_GRAFT_ORACLE_SF — keep it in lockstep or their guards fire (by design).
+sf = os.environ.get("DRIVER_STRESS_SF", "/root/testdata/sf0.01")
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", sf)
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -620,7 +620,8 @@ def test_shingle_cache_storage_level_knob(spark):
             for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = D.ngram_jaccard_pairs_exact(
-        df, "text", "doc_id", threshold=0.8, storage_level="DISK_ONLY"
+        df, "text", "doc_id", threshold=0.8, storage_level="DISK_ONLY",
+        shingle_store="persist",
     )
     got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     # the persisted shingle frame is disk-only (no in-memory copies)
@@ -632,7 +633,7 @@ def test_shingle_cache_storage_level_knob(spark):
     ]
     spark.catalog.clearCache()
     want = {(r["doc_a"], r["doc_b"]) for r in D.ngram_jaccard_pairs_exact(
-        df, "text", "doc_id", threshold=0.8).collect()}
+        df, "text", "doc_id", threshold=0.8, shingle_store="persist").collect()}
     assert got == want and len(want) > 0
     spark.catalog.clearCache()
     with pytest.raises(ValueError, match="storage_level"):
@@ -753,3 +754,109 @@ def test_python_xxh64_matches_spark(spark, sf_dir):
     assert len(rows) == len(cases)
     for r in rows:
         assert xxh64_str(r.s) == r.h, f"xxh64 mismatch on {r.s!r}"
+
+
+def test_bucketed_shingle_store_results_and_plan(spark):
+    """shingle_store='bucketed' (r6): identical results to the persisted plan,
+    and the verify join's second shingle reference is a bucketed scan with NO
+    exchange above it — the physical-bucketing escape from the cached
+    self-join attribute re-resolution (BENCH.md round-5 addendum)."""
+    spark.catalog.clearCache()
+    rows = [
+        (i, f"some repeated text body number {i % 9} padded out to shingles ok")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs_exact(
+            df, "text", "doc_id", 0.8, shingle_store="persist"
+        ).collect()
+    }
+    assert len(want) > 0
+    spark.catalog.clearCache()
+    out = D.ngram_jaccard_pairs_exact(
+        df, "text", "doc_id", 0.8, shingle_store="bucketed"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in out.collect()
+    }
+    assert got == want
+    # the materialized table exists, is bucketed on doc_id, and its scans are
+    # exchange-free: the executed plan must contain bucketed FileScans and the
+    # string "SelectedBucketsCount"
+    assert D._BUCKETED_SHINGLE_TABLES, "bucketed table not registered"
+    tbl = D._BUCKETED_SHINGLE_TABLES[-1]
+    ddl = spark.sql(f"SHOW CREATE TABLE {tbl}").collect()[0][0]
+    assert "CLUSTERED BY (doc_id)" in ddl and "SORTED BY (doc_id" in ddl, ddl
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan[:4000]
+    # minhash pipeline: same equivalence through the composed path
+    spark.catalog.clearCache()
+    mh_want = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_dups(
+            df, "text", "doc_id", threshold=0.8, shingle_store="persist"
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    mh_got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_dups(
+            df, "text", "doc_id", threshold=0.8, shingle_store="bucketed"
+        ).collect()
+    }
+    assert mh_got == mh_want and len(mh_want) > 0
+    # cleanup drops every materialized table (managed -> files removed too)
+    made = list(D._BUCKETED_SHINGLE_TABLES)
+    D.cleanup_shingle_tables(spark)
+    assert not D._BUCKETED_SHINGLE_TABLES
+    existing = {t.name for t in spark.catalog.listTables()}
+    assert not (existing & {t.split(".")[-1] for t in made})
+
+
+def test_stage_checkpoint_reliable_mode(spark, tmp_path):
+    """With a session checkpoint dir set, the dedup checkpoints become RELIABLE
+    disk checkpoints (the low-heap / resumable mode) and every pipeline result
+    is unchanged."""
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    rows = [(i, f"some repeated text body number {i % 9} padded out to shingles")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_near_dups(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    pairs_df = spark.createDataFrame(
+        sorted(want_pairs), "doc_a long, doc_b long"
+    )
+    want_comps = {
+        (r["doc_id"], r["component"])
+        for r in D.dedup_components(pairs_df).collect()
+    }
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got_pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.minhash_near_dups(df, "text", "doc_id", threshold=0.8).collect()
+        }
+        got_comps = {
+            (r["doc_id"], r["component"])
+            for r in D.dedup_components(pairs_df).collect()
+        }
+        # reliable checkpoint files actually landed in the dir
+        import os as _os
+
+        files = [
+            _os.path.join(dp, f)
+            for dp, _, fs in _os.walk(str(tmp_path / "ckpt"))
+            for f in fs
+        ]
+        assert files, "no reliable checkpoint files written"
+    finally:
+        # clear the dir so later tests see the default localCheckpoint mode
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    assert got_comps == want_comps and len(want_comps) > 0
