@@ -65,36 +65,40 @@ docs = spark.read.parquet(docs_path)
 docs.agg(F.count("doc_id"), F.sum(F.length("text"))).collect()
 
 def pipeline():
+    # pairs checkpointed once (tiny frame) so the identical-outputs gate gets
+    # the pair count from the SAME timed pass — components reads the
+    # checkpoint, exactly one verify execution either way
     pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.8,
-                              storage_level="DISK_ONLY")
+                              storage_level="DISK_ONLY").localCheckpoint()
+    n_pairs = pairs.count()
     comps = dedup_components(pairs)
     keep = F.coalesce(F.col("component"), F.col("doc_id"))
     out = docs.select("doc_id").join(comps, "doc_id", "left").select(
         "doc_id", keep.alias("keep_doc_id"),
         (keep == F.col("doc_id")).alias("is_representative"))
-    return out.agg(
+    r = out.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("is_representative").cast("long")).alias("reps"),
     ).collect()[0]
+    return r, n_pairs
 
+from geojson_utility_spark.operators.dedup import cleanup_shingle_tables
+n_reps = int(os.environ.get("DEDUP_SCALING_REPS", "3"))
 probe_before = round(cpu_probe_best(spark, cores), 3)
 best, stats = None, None
-for rep in range(3):
+for rep in range(n_reps):
     spark.catalog.clearCache()
+    cleanup_shingle_tables(spark)
     t0 = time.perf_counter()
-    r = pipeline()
+    r, n_pairs = pipeline()
     dt = time.perf_counter() - t0
     if best is None or dt < best:
         best = dt
-    stats = (r["rows"], r["reps"])
+    stats = (r["rows"], r["reps"], n_pairs)
     print(json.dumps({{"rep": rep, "sec": round(dt, 2)}}), file=sys.stderr, flush=True)
 probe_after = round(cpu_probe_best(spark, cores), 3)
-# untimed: the explicit pair count (the identical-outputs gate wants pairs too)
-spark.catalog.clearCache()
-n_pairs = minhash_near_dups(docs, "text", "doc_id", threshold=0.8,
-                            storage_level="DISK_ONLY").count()
 print(json.dumps({{"cores": cores, "sec": round(best, 2), "rows": stats[0],
-                   "reps": stats[1], "pairs": n_pairs, "docs_per_sec": n_docs / best,
+                   "reps": stats[1], "pairs": stats[2], "docs_per_sec": n_docs / best,
                    "probe_before": probe_before, "probe_after": probe_after}}))
 spark.stop()
 """
@@ -125,6 +129,13 @@ def main():
     r_small = run_level(n_small, n_docs)
     r_big = run_level(n_small * 4, n_docs)
     eff = (r_big["docs_per_sec"] / r_small["docs_per_sec"]) / 4.0
+    # machine ceiling from the SAME runs' probe brackets: the hostprobe is a
+    # pure whole-stage-codegen kernel with zero engine code — its own N->4N
+    # scaling bounds what ANY job can show on this host (frequency scaling +
+    # SMT: 8 active threads run on boosted full cores, 32 share 16 physical).
+    p_small = min(r_small["probe_before"], r_small["probe_after"])
+    p_big = min(r_big["probe_before"], r_big["probe_after"])
+    ceiling = (p_small / p_big) / 4.0
     same = (r_small["rows"], r_small["reps"], r_small["pairs"]) == (
         r_big["rows"], r_big["reps"], r_big["pairs"]
     )
@@ -135,6 +146,8 @@ def main():
         "big": r_big,
         "outputs_identical": same,
         "scaling_efficiency": round(eff, 3),
+        "machine_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "target": 0.8,
         "pass": bool(eff >= 0.8 and same),
     }
@@ -143,9 +156,9 @@ def main():
         f.write(
             f"\n## Dedup-flagship scaling proof ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"Identical composed dedup job (minhash_near_dups t=0.8 -> "
-            f"dedup_components -> keep/drop table; {n_docs:,} docs, 500k planted "
+            f"dedup_components -> keep/drop table; {n_docs:,} docs, {n_docs // 2:,} planted "
             f"near-dup pairs) at two parallelism levels, process tree pinned per "
-            f"level, best-of-3:\n\n"
+            f"level, best-of-{os.environ.get('DEDUP_SCALING_REPS', '3')}:\n\n"
             f"| level | wall sec | rows / reps / pairs | docs/sec | probe before/after |\n"
             f"|---|---|---|---|---|\n"
             f"| local[{r_small['cores']}] | {r_small['sec']:.2f} | "
@@ -157,7 +170,10 @@ def main():
             f"{r_big['docs_per_sec']:.0f} | "
             f"{r_big['probe_before']} / {r_big['probe_after']} |\n\n"
             f"Outputs identical across levels: **{same}**.  Scaling efficiency "
-            f"N->4N: **{eff:.3f}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+            f"N->4N: **{eff:.3f}** raw (target >= 0.8: "
+            f"{'PASS' if eff >= 0.8 else 'FAIL'}); same-run machine ceiling "
+            f"(hostprobe N->4N) **{ceiling:.3f}** -> job-vs-ceiling "
+            f"**{eff / ceiling:.3f}**\n"
         )
 
 
