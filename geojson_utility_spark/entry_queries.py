@@ -54,9 +54,13 @@ def _reclaim(spark: SparkSession) -> None:
     if os.environ.get("SPARK_GRAFT_NO_RECLAIM") == "1":
         return
     spark.catalog.clearCache()
-    from geojson_utility_spark.operators.dedup import cleanup_shingle_tables
+    from geojson_utility_spark.operators.dedup import (
+        cleanup_shingle_tables,
+        sweep_stale_shingle_tables,
+    )
 
     cleanup_shingle_tables(spark)
+    sweep_stale_shingle_tables(spark)
     # Minimal-heap hardening (r6): in a bare default-heap session (~1g, the
     # driver-stress envelope) the composite pipelines' localCheckpoint blocks
     # compete with the 32-thread execution pool for a ~300 MB storage budget.

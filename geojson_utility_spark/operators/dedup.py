@@ -226,6 +226,48 @@ def cleanup_shingle_tables(spark) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def sweep_stale_shingle_tables(spark) -> list[str]:
+    """Remove warehouse directories of ``gjus_shingles_<pid>_*`` tables whose
+    owning process is DEAD (a killed session cannot run its own cleanup — a
+    single interrupted 4M-doc run strands ~3 GB; five of them filled 19 GB of
+    this host before this janitor existed).  Returns the removed dir names.
+
+    Local-filesystem warehouses only (the dev / single-node case where the
+    leak actually accumulates unattended): pid liveness is only meaningful on
+    the machine that created the table, and cluster deployments point
+    ``spark.sql.warehouse.dir`` at shared storage where an age- or run-id-based
+    retention policy belongs to the orchestrator, not this process.  Called by
+    the heavy driver entries' ``_reclaim`` — a few os.listdir/kill(0) calls,
+    free next to the pipelines it guards."""
+    import re
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    else:
+        if "://" in wh:  # non-local warehouse (hdfs://, s3a://, ...)
+            return []
+    if not os.path.isdir(wh):
+        return []
+    removed = []
+    for d in os.listdir(wh):
+        m = re.fullmatch(r"gjus_shingles_(\d+)_\d+", d)
+        if not m:
+            continue
+        pid = int(m.group(1))  # own pid is alive -> own tables always survive
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+            removed.append(d)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+    return removed
+
+
 def _stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """localCheckpoint, upgraded to a RELIABLE checkpoint when the session has
     a checkpoint dir set (``sc.setCheckpointDir``).

@@ -42,6 +42,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _drop_shingle_tables(spark):
+    """Drop the step's bucketed shingle table once counted — at 10M docs each
+    run's table is ~7 GB and this host's effective disk is ~93 GB."""
+    from geojson_utility_spark.operators.dedup import cleanup_shingle_tables
+
+    cleanup_shingle_tables(spark)
+
+
 def cpu_probe(spark):
     """Best-of-2 shared pure-CPU probe (geojson_utility_spark/hostprobe.py) —
     bracket every 1M measurement so host phase noise is visible in the record."""
@@ -134,8 +142,13 @@ def main():
             ).alias("text"),
         ).localCheckpoint()
 
+    # NEARDUP_N_DOCS scales steps 3/4 past the default 1M (e.g. 10000000 for
+    # the VERDICT r5 task-3 build-side measurement at 10M docs)
+    n_env = int(os.environ.get("NEARDUP_N_DOCS", "1000000"))
+    tag = f"{n_env // 1_000_000}m" if n_env >= 1_000_000 else str(n_env)
+
     if "3" in steps:
-        n, half = 1_000_000, 500_000
+        n, half = n_env, n_env // 2
         docs = synth_docs(n, half)
         p_before = cpu_probe(spark)
         t0 = time.perf_counter()
@@ -143,15 +156,16 @@ def main():
                                 storage_level="DISK_ONLY").count()
         dt = time.perf_counter() - t0
         print(json.dumps({
-            "bench": "minhash_1m", "n_docs": n, "true_pairs": half,
+            "bench": f"minhash_{tag}", "n_docs": n, "true_pairs": half,
             "result_pairs": out, "sec": round(dt, 2),
             "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
+        _drop_shingle_tables(spark)
 
     if "4" in steps:
         from geojson_utility_spark.operators.dedup import ngram_jaccard_pairs_exact
 
-        n, half = 1_000_000, 500_000
+        n, half = n_env, n_env // 2
         docs = synth_docs(n, half)
         p_before = cpu_probe(spark)
         t0 = time.perf_counter()
@@ -159,10 +173,11 @@ def main():
                                         storage_level="DISK_ONLY").count()
         dt = time.perf_counter() - t0
         print(json.dumps({
-            "bench": "ngram_1m", "n_docs": n, "true_pairs": half,
+            "bench": f"ngram_{tag}", "n_docs": n, "true_pairs": half,
             "result_pairs": out, "sec": round(dt, 2),
             "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
+        _drop_shingle_tables(spark)
 
     spark.stop()
 
