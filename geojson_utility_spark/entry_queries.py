@@ -68,11 +68,18 @@ def _reclaim(spark: SparkSession) -> None:
     # RELIABLE disk checkpoint (heap-neutral, restart-survivable).  Driver runs
     # with real heap keep the faster localCheckpoint path.
     sc = spark.sparkContext
-    if (
-        not sc._jsc.sc().getCheckpointDir().isDefined()
-        and sc._jvm.java.lang.Runtime.getRuntime().maxMemory() < 1600 * 1024 * 1024
-    ):
-        sc.setCheckpointDir(f"/tmp/gjus_ckpt_{os.getpid()}")
+    if sc._jvm.java.lang.Runtime.getRuntime().maxMemory() < 1600 * 1024 * 1024:
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            sc.setCheckpointDir(f"/tmp/gjus_ckpt_{os.getpid()}")
+        # A bare session also shuffles at the 200-partition SQL default, which
+        # with 32 concurrent tasks puts ~200 MB of bypass-merge shuffle file
+        # buffers (tasks x partitions x 32 KB) in flight — a fifth of a 1g heap.
+        # Entry results are partition-count-independent (hash-green at both 32
+        # and 200), so cap the SQL shuffle width to the core count.
+        if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(sc.defaultParallelism)
+            )
 
 
 def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
