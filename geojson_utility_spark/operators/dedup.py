@@ -298,7 +298,7 @@ def _parallel_target(df: DataFrame) -> int:
     )
 
 
-def _spread_keyed(df: DataFrame, key: str) -> DataFrame:
+def _spread_keyed(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     """Hash-partition the narrow pre-explode frame by ``key`` — unlike
     :func:`_spread` this ALWAYS shuffles, and shuffles the CHEAP side: the frame
     before the ~10x row-exploding shingle stage.  The explode preserves the
@@ -307,8 +307,29 @@ def _spread_keyed(df: DataFrame, key: str) -> DataFrame:
     ``HashPartitioning(key)`` satisfies ``ClusteredDistribution(key, shingle)``.
     Measured at 1M docs (BENCH.md round-5 addendum): trading this corpus-sized
     shuffle for the shingle-frame distinct exchange is a large net win; partition
-    count never shrinks below the input's (no parallelism loss at scale)."""
-    return df.repartition(_parallel_target(df), key)
+    count never shrinks below the input's (no parallelism loss at scale).
+
+    ``n`` overrides the width — the bucketed shingle store passes
+    :func:`_bucket_target` so the spread width equals the bucket count and
+    every bucketed-table write task holds exactly one bucket."""
+    return df.repartition(n or _parallel_target(df), key)
+
+
+def _bucket_target(corpus: DataFrame) -> int:
+    """Bucket count for the materialized shingle table: ~8 buckets per CORPUS
+    partition, floored at the session's parallel target.
+
+    A bucketed scan runs ONE task per bucket with no intra-bucket split, so
+    per-task reader memory is bounded by bucket size — the bucket count must
+    grow with the data, not with the core count.  Measured failure mode
+    (BENCH.md round-6): at 10M docs a corpus-independent 32-bucket table put
+    ~40M shingle rows (~225 MB compressed, GBs decompressed) in every bucket
+    and 32 concurrent bucket reads OOM'd a 24 GB heap.  Corpus partitions
+    scale with input bytes (~128 MB splits on real file sources), and the
+    distinct-shingle frame is a roughly constant multiple of the corpus, so
+    8x input partitions keeps per-bucket size roughly flat as the corpus
+    grows; the floor keeps toy corpora at full session parallelism."""
+    return max(_parallel_target(corpus), corpus.rdd.getNumPartitions() * 8)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -506,12 +527,17 @@ def jaccard_pairs(
     # _spread_keyed: the doc_id hash partitioning FUSES the distinct below and the
     # sizes aggregate with zero exchange of the ~10x shingle frame (same measured
     # trade as ngram_jaccard_pairs_exact — BENCH.md round-5 addendum)
+    # bucket/spread width from the CORPUS frame, before the semi join collapses
+    # partitioning to the shuffle width (per-bucket size must track the data —
+    # see _bucket_target)
+    tgt = _bucket_target(df)
     norm = _spread_keyed(
         df.join(needed, id_col, "left_semi").select(
             F.col(id_col).alias("doc_id"),
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
         ),
         "doc_id",
+        tgt,
     )
     sh_ex = (
         norm.select(
@@ -529,9 +555,7 @@ def jaccard_pairs(
         )
         .distinct()
     )
-    ref = _materialize_shingles(
-        sh_ex, shingle_store, storage_level, _parallel_target(norm)
-    )
+    ref = _materialize_shingles(sh_ex, shingle_store, storage_level, tgt)
     sizes = ref().groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     ex_a = ref().select(F.col("doc_id").alias("doc_a"), "shingle")
     ex_b = ref().select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1032,12 +1056,14 @@ def ngram_jaccard_pairs_exact(
     # distinct below — whose keys (doc_id, shingle) are clustered by doc_id —
     # and the per-doc windows inside _prefix_candidates need no exchange of the
     # ~10x-larger shingle frame (measured at 1M docs, BENCH.md round-5 addendum)
+    tgt = _bucket_target(df)
     norm = _spread_keyed(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
         ),
         "doc_id",
+        tgt,
     )
     sh = (
         norm.select(
@@ -1055,7 +1081,7 @@ def ngram_jaccard_pairs_exact(
         )
         .distinct()
     )
-    ref = _materialize_shingles(sh, shingle_store, storage_level, _parallel_target(norm))
+    ref = _materialize_shingles(sh, shingle_store, storage_level, tgt)
     sh = ref()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = _prefix_candidates(sh, threshold)
