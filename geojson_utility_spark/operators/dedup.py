@@ -965,7 +965,13 @@ def phash_near_dups(images: DataFrame, max_distance: int = 8) -> DataFrame:
     )
 
 
-def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    sh: DataFrame,
+    threshold: float,
+    doc_freq: str = "exact",
+    hh_sample_inv: int = 100,
+    hh_top_m: int = 1_000_000,
+) -> DataFrame:
     """PPJoin/All-Pairs prefix-filtered candidate pairs from a distinct
     (doc_id, shingle) frame — EXACT for jaccard >= threshold.
 
@@ -978,43 +984,96 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     stop-shingle shared by f docs lands in almost no prefix, so its f² posting-list
     blowup never happens; the ε guard on the ceil keeps float t·|X| from rounding
     the required overlap UP (a longer prefix is always complete).
+
+    ``doc_freq`` picks how the global frequency order is computed — the
+    CANDIDATE SET may differ between modes, the operator's exact output never
+    does (completeness holds for ANY deterministic global order; the verify
+    stage rejects every impostor):
+
+    - ``'exact'``: true per-shingle document frequency via a window — one full
+      exchange of the shingle frame by shingle plus one back by doc_id.  Best
+      pruning; the two full-frame exchanges are the pipeline's entire scratch
+      footprint at corpus scale (measured: the 10M-doc run's shuffle spill
+      exceeded this host's disk — BENCH.md round-6 addendum 5).
+    - ``'sampled'``: frequencies estimated from a deterministic
+      1/``hh_sample_inv`` hash-sample of the frame, kept only for heavy
+      hitters (sample count >= 2, top ``hh_top_m`` by estimate) and
+      broadcast-joined back; everything absent estimates 0.  The order is
+      still a pure function of the global data (xxhash64 rows + tiebreak on
+      the shingle string), so completeness is untouched.  NO full-frame
+      exchange remains anywhere before the candidate self-join — per-doc rank
+      and size fuse onto the caller's doc_id clustering — so shuffle bytes
+      drop from ~2x the shingle frame to ~2x the PREFIX frame (~(1-t) of it).
+      Pruning loses only shingles whose df is too small for the sample to
+      see (their blowup is bounded by that same small df²) or pushed out of
+      ``hh_top_m`` (cap the broadcast at ~16 MB/1M entries).
     """
-    # Physical shape (round-5 rework, measured at 1M docs — BENCH.md addendum):
-    # document frequency, per-doc rank, and per-doc size are all WINDOW functions
-    # instead of the former groupBy(freq)+merge-join / groupBy(sizes)+merge-join
-    # pair.  The window-by-shingle pays the same exchange+sort of the shingle
-    # frame the old SMJ side paid, but drops the separate freq-frame aggregate
-    # and sort and BOTH merge joins; with the caller feeding a doc_id-partitioned
-    # frame (see _spread_keyed) the two per-doc windows fuse onto one exchange.
-    # (History: a freq broadcast exhausted the driver at 1M docs — "Not enough
-    # memory to build and broadcast" — and a shuffle_hash variant OOM'd on 32
-    # concurrent multi-million-entry build maps; windows have neither failure
-    # mode.  Not on the driver bench path; correctness-at-scale wins.)
-    w_df = Window.partitionBy("shingle")
+    if doc_freq not in ("exact", "sampled"):
+        raise ValueError(f"unknown doc_freq {doc_freq!r}")
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("_df").asc(), F.col("shingle").asc()
     )
     w_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.withColumn("_df", F.count("*").over(w_df))
-        .withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("n_sh", F.count("*").over(w_doc))
+    if doc_freq == "exact":
+        # Physical shape (round-5 rework, measured at 1M docs — BENCH.md
+        # addendum): document frequency, per-doc rank, and per-doc size are all
+        # WINDOW functions instead of the former groupBy(freq)+merge-join /
+        # groupBy(sizes)+merge-join pair.  The window-by-shingle pays the same
+        # exchange+sort of the shingle frame the old SMJ side paid, but drops
+        # the separate freq-frame aggregate and sort and BOTH merge joins; with
+        # the caller feeding a doc_id-partitioned frame (see _spread_keyed) the
+        # two per-doc windows fuse onto one exchange.  (History: a full freq
+        # broadcast exhausted the driver at 1M docs — "Not enough memory to
+        # build and broadcast" — and a shuffle_hash variant OOM'd on 32
+        # concurrent multi-million-entry build maps.  The 'sampled' mode
+        # broadcast is immune to both: it is CAPPED at hh_top_m entries.)
+        base = sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+    else:
+        inv = max(int(hh_sample_inv), 1)
+        samp = (
+            sh
+            if inv == 1
+            else sh.filter(F.pmod(F.xxhash64("shingle", "doc_id"), F.lit(inv)) == 0)
+        )
+        # >= 2 sampled sightings: a df=1 shingle fakes its way in with
+        # p ~ inv^-2, so the noise floor stays ~rows/inv^2 entries; inv == 1
+        # degenerates to the exact frequency table (used by tests)
+        freq = (
+            samp.groupBy(F.xxhash64("shingle").alias("_hh"))
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= (2 if inv > 1 else 1))
+            .orderBy(F.col("_c").desc(), F.col("_hh"))
+            .limit(hh_top_m)
+        )
+        # broadcast lookup keeps the probe side's doc_id clustering intact; a
+        # hash collision merely hands a shingle the wrong estimate — the order
+        # stays a deterministic global total order (string tiebreak), so only
+        # the candidate count can change, never completeness
+        base = (
+            sh.withColumn("_hh", F.xxhash64("shingle"))
+            .join(F.broadcast(freq), "_hh", "left")
+            .withColumn("_df", F.coalesce(F.col("_c"), F.lit(0)))
+            .drop("_hh", "_c")
+        )
+    ranked = base.withColumn("_rn", F.row_number().over(w_rank)).withColumn(
+        "n_sh", F.count("*").over(w_doc)
     )
     alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-    prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
-        "doc_id", "shingle"
-    )
     # the self-join keys on xxhash64(shingle), not the string: sorting/shuffling
     # 8-byte longs beats 8-char strings, and a hash COLLISION only ADDS a
     # candidate pair (join on hash ⊇ join on string) — completeness is
     # preserved and the exact verify stage rejects any impostor, so the
-    # operator's exactness contract is untouched
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.xxhash64("shingle").alias("_sh")
+    # operator's exactness contract is untouched.  The prefix subtree is
+    # referenced twice (both self-join sides) but NOT persisted: each side
+    # ends in an isomorphic Exchange(_sh), so ReusedExchange computes the
+    # whole rank pipeline once and replays the shuffle files for the second
+    # side — a measured DISK_ONLY persist here only ADDED cache write/read
+    # cost on top of the reuse Catalyst already performs (BENCH.md round-6).
+    prefix = ranked.filter(F.col("_rn") <= F.col("n_sh") - alpha + 1).select(
+        "doc_id", F.xxhash64("shingle").alias("_sh")
     )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.xxhash64("shingle").alias("_sh")
-    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "_sh")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "_sh")
     return (
         a.join(b.hint("merge"), "_sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -1031,9 +1090,15 @@ def ngram_jaccard_pairs_exact(
     shingle_n: int = 8,
     storage_level: str = "MEMORY_AND_DISK",
     shingle_store: str = "bucketed",
+    doc_freq: str = "exact",
 ) -> DataFrame:
     """EXACT all-pairs character n-gram Jaccard >= threshold — prefix-filtered
     inverted-index join (PPJoin-style), never the N^2 cross product.
+
+    ``doc_freq='sampled'`` switches the prefix filter's frequency order to the
+    sampled heavy-hitter estimate (see :func:`_prefix_candidates`) — identical
+    exact output, no full-frame exchange left in candidate generation; the
+    corpus-scale choice when shuffle scratch is the binding constraint.
 
     Candidates come from :func:`_prefix_candidates` — each doc joins only on its
     (1-t)·|doc|+1 globally-rarest shingles, which is provably complete for
@@ -1084,7 +1149,7 @@ def ngram_jaccard_pairs_exact(
     ref = _materialize_shingles(sh, shingle_store, storage_level, tgt)
     sh = ref()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = _prefix_candidates(sh, threshold)
+    cand = _prefix_candidates(sh, threshold, doc_freq=doc_freq)
     # verify: intersection over the FULL shingle sets, restricted to candidates
     # (merge hints: Catalyst statically broadcast the corpus shingle frame `a`
     # here at 1M docs — same estimate trap as jaccard_pairs; not on the bench

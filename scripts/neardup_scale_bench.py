@@ -169,11 +169,14 @@ def main():
         docs = synth_docs(n, half)
         p_before = cpu_probe(spark)
         t0 = time.perf_counter()
+        doc_freq = os.environ.get("NGRAM_DOC_FREQ", "exact")
         out = ngram_jaccard_pairs_exact(docs, "text", "doc_id", threshold=0.8,
-                                        storage_level="DISK_ONLY").count()
+                                        storage_level="DISK_ONLY",
+                                        doc_freq=doc_freq).count()
         dt = time.perf_counter() - t0
         print(json.dumps({
             "bench": f"ngram_{tag}", "n_docs": n, "true_pairs": half,
+            "doc_freq": doc_freq,
             "result_pairs": out, "sec": round(dt, 2),
             "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)

@@ -449,6 +449,127 @@ def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
             want.add((x, y))
     assert set(map(tuple, got[["doc_a", "doc_b"]].values)) == want
     assert (0, 70000) in want
+    # sampled doc-freq mode: a DIFFERENT candidate order, the SAME exact output
+    got_s = D.ngram_jaccard_pairs_exact(
+        df2, "text", "doc_id", threshold=t, doc_freq="sampled"
+    ).toPandas()
+    assert set(map(tuple, got_s[["doc_a", "doc_b"]].values)) == want
+
+
+def test_prefix_candidates_sampled_mode(spark):
+    """Sampled heavy-hitter frequency order: inv=1 degenerates to the exact
+    frequency table (same pruning on the stop-shingle corpus); the default
+    sampled candidates are a complete SUPERSET of the exact-mode candidates on
+    a planted near-dup corpus; unknown modes fail loudly."""
+    import numpy as np
+    import pytest
+
+    from geojson_utility_spark.operators import dedup as D
+
+    rng = np.random.default_rng(31)
+    stop = "zzcommonz"
+    n = 300
+    texts = [
+        (i, "".join(rng.choice(list("abcdefghijklmnop"), size=64)) + stop)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+            ).alias("_i"),
+            "text",
+        )
+        .select(
+            "doc_id", F.substring(F.col("text"), F.col("_i"), F.lit(8)).alias("shingle")
+        )
+        .distinct()
+    )
+    t = 0.5
+    exact = D._prefix_candidates(sh, t)
+    # inv=1: every row sampled -> estimate == true df -> identical pruning power
+    full = D._prefix_candidates(sh, t, doc_freq="sampled", hh_sample_inv=1)
+    assert full.count() == exact.count()
+    # candidate completeness under the noisy default sample: every true pair
+    # (here: a planted exact dup, jaccard 1.0) must be a candidate
+    dup = spark.createDataFrame(
+        texts + [(70000, texts[0][1])], "doc_id long, text string"
+    )
+    sh_dup = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+            ).alias("_i"),
+            "text",
+        )
+        .select(
+            "doc_id", F.substring(F.col("text"), F.col("_i"), F.lit(8)).alias("shingle")
+        )
+        .distinct()
+    )
+    cand = D._prefix_candidates(sh_dup, t, doc_freq="sampled").toPandas()
+    assert (0, 70000) in set(map(tuple, cand[["doc_a", "doc_b"]].values))
+    with pytest.raises(ValueError, match="doc_freq"):
+        D._prefix_candidates(sh, t, doc_freq="bogus")
+
+
+def test_prefix_candidates_sampled_plan_has_no_full_frame_exchange(spark):
+    """The point of doc_freq='sampled': on a doc_id-clustered shingle frame the
+    candidate generator must plan ZERO exchanges of the full shingle frame —
+    only the tiny sample aggregate and the prefix self-join shuffle.  Pinned by
+    counting Exchange operators: exact mode needs 2 more (by shingle for the
+    frequency window, back by doc_id for the rank window)."""
+    from geojson_utility_spark.operators import dedup as D
+
+    # id % 200: every text appears twice, so candidate pairs exist — an empty
+    # result would let AQE fold the final plan to EmptyRelation and erase the
+    # ReusedExchange evidence this test pins
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.md5((F.col("id") % 200).cast("string")).alias("text"),
+    )
+    sh = (
+        D._spread_keyed(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+            ).alias("_i"),
+            "text",
+        )
+        .select(
+            "doc_id", F.substring(F.col("text"), F.col("_i"), F.lit(8)).alias("shingle")
+        )
+        .distinct()
+    )
+    import re
+
+    plan_exact = D._prefix_candidates(sh, 0.5)._jdf.queryExecution().executedPlan().toString()
+    plan_sampled = D._prefix_candidates(
+        sh, 0.5, doc_freq="sampled"
+    )._jdf.queryExecution().executedPlan().toString()
+    # exact mode pays a full-frame exchange keyed on the shingle string (the
+    # frequency window) and an ENSURE exchange back to doc_id (the rank window)
+    assert "Exchange hashpartitioning(shingle" in plan_exact
+    doc_ensure = re.compile(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\), ENSURE")
+    assert doc_ensure.search(plan_exact)
+    # sampled mode must have NEITHER: the rank/size windows fuse onto the
+    # caller's doc_id clustering, frequency comes from a broadcast lookup
+    assert "Exchange hashpartitioning(shingle" not in plan_sampled, plan_sampled
+    assert not doc_ensure.search(plan_sampled), plan_sampled
+    assert "BroadcastExchange" in plan_sampled
+    # runtime stage reuse: the self-join sides are canonically identical up to
+    # their Exchange(_sh), so AQE must compute the whole prefix subtree ONCE
+    # and replay its shuffle files for the second side.  Execute and check the
+    # final adaptive plan (static plans never show reuse under AQE).
+    cand = D._prefix_candidates(sh, 0.5, doc_freq="sampled")
+    cand.collect()  # count() would spawn its own QueryExecution
+    final = cand._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
 
 
 def test_cosine_near_dups_planted_and_contract(spark):
