@@ -969,7 +969,7 @@ def _prefix_candidates(
     sh: DataFrame,
     threshold: float,
     doc_freq: str = "exact",
-    hh_sample_inv: int = 100,
+    hh_sample_inv: int = 20,
     hh_top_m: int = 1_000_000,
 ) -> DataFrame:
     """PPJoin/All-Pairs prefix-filtered candidate pairs from a distinct
@@ -1007,6 +1007,17 @@ def _prefix_candidates(
       Pruning loses only shingles whose df is too small for the sample to
       see (their blowup is bounded by that same small df²) or pushed out of
       ``hh_top_m`` (cap the broadcast at ~16 MB/1M entries).
+
+    Measured candidate inflation at 1M docs on the adversarial LOW-ENTROPY
+    corpus (hex bodies; mid-df "tail" shingles df≈8..2000): exact 565k
+    candidates vs sampled 10.4M at inv=100, 3.36M at inv=20, 3.07M at inv=10 —
+    the default inv=20 catches df >= ~3·inv reliably and the residual junk
+    comes from df < ~inv shingles no practical sample can see (each bounded by
+    C(0.2·df, 2) pairs).  On high-entropy real text the shingle space is
+    ~10^15, chance-shared low-df shingles are rare, and the gap vanishes.
+    Rule: 'exact' prunes best and is the default; 'sampled' is the escape when
+    the two full-frame exchanges are the binding scratch constraint (they were
+    what killed the 10M-doc exact run — BENCH.md round-6 addendum 5).
     """
     if doc_freq not in ("exact", "sampled"):
         raise ValueError(f"unknown doc_freq {doc_freq!r}")
