@@ -130,14 +130,25 @@ def main():
             "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
 
+    # NEARDUP_ALPHABET=b64 swaps the 16-char hex bodies for base64 (64-char
+    # alphabet): shingle space 64^8 ~ 2.8e14 vs hex's 16^8 = 4.3e9, i.e. the
+    # high-entropy regime of real text where chance-shared 8-grams are rare.
+    # hex (default) is the adversarial low-entropy case — at 10M docs its
+    # birthday-shared shingles make ANY complete candidate generator quadratic.
+    alphabet = os.environ.get("NEARDUP_ALPHABET", "hex")
+
+    def _body(col):
+        h = F.md5(col.cast("string"))
+        return F.base64(F.unhex(h)) if alphabet == "b64" else h
+
     def synth_docs(n, half):
         return spark.range(0, n, 1, int(CPUS) * 4).select(
             F.col("id").alias("doc_id"),
             F.concat(
-                F.md5(F.pmod(F.col("id"), half).cast("string")),
-                F.md5((F.pmod(F.col("id"), half) * 3 + 1).cast("string")),
-                F.md5((F.pmod(F.col("id"), half) * 7 + 2).cast("string")),
-                F.md5((F.pmod(F.col("id"), half) * 13 + 3).cast("string")),
+                _body(F.pmod(F.col("id"), half)),
+                _body(F.pmod(F.col("id"), half) * 3 + 1),
+                _body(F.pmod(F.col("id"), half) * 7 + 2),
+                _body(F.pmod(F.col("id"), half) * 13 + 3),
                 F.when(F.col("id") < half, F.lit(" alpha")).otherwise(F.lit(" beta")),
             ).alias("text"),
         ).localCheckpoint()
@@ -176,7 +187,7 @@ def main():
         dt = time.perf_counter() - t0
         print(json.dumps({
             "bench": f"ngram_{tag}", "n_docs": n, "true_pairs": half,
-            "doc_freq": doc_freq,
+            "doc_freq": doc_freq, "alphabet": alphabet,
             "result_pairs": out, "sec": round(dt, 2),
             "probe_before": p_before, "probe_after": cpu_probe(spark),
         }), flush=True)
