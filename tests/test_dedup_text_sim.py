@@ -516,6 +516,46 @@ def test_prefix_candidates_sampled_mode(spark):
         D._prefix_candidates(sh, t, doc_freq="bogus")
 
 
+def test_prefix_candidates_length_filter(spark):
+    """All-Pairs LENGTH filter: jaccard >= t forces min(|A|,|B|) >= t·max, so
+    size-mismatched pairs are pruned IN the candidate join even when their
+    prefixes overlap.  Constructed so the prefix filter alone would keep the
+    pruned pair: C's extra shingles are high-df stop shingles (df=10), so C's
+    prefix is exactly its two rare shared shingles — only the size test can
+    remove (A, C).  The boundary pair (A, B) with min == t·max exactly must
+    survive (ε guard)."""
+    from geojson_utility_spark.operators import dedup as D
+
+    t = 0.5
+    s = ["s_rare_1", "s_rare_2"]
+    w = [f"w_stop_{k}" for k in range(8)]
+    rows = (
+        [(0, x) for x in s]                       # A: {s1,s2}            |A|=2
+        + [(1, x) for x in s + w[:2]]             # B: {s1,s2,w1,w2}      |B|=4
+        + [(2, x) for x in s + w]                 # C: {s1,s2,w1..w8}     |C|=10
+        + [(10 + i, x) for i in range(9) for x in w]  # fillers: df(w)=11
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    cand = set(
+        map(tuple, D._prefix_candidates(sh, t).select("doc_a", "doc_b").toPandas().values)
+    )
+    # boundary kept: min(2,4) == 0.5*4 exactly
+    assert (0, 1) in cand
+    # prefix overlap exists (C's 6-prefix = s1,s2 + stop tail) but 2 < 0.5*10
+    assert (0, 2) not in cand
+    # sampled mode applies the same filter
+    cand_s = set(
+        map(
+            tuple,
+            D._prefix_candidates(sh, t, doc_freq="sampled", hh_sample_inv=1)
+            .select("doc_a", "doc_b")
+            .toPandas()
+            .values,
+        )
+    )
+    assert (0, 1) in cand_s and (0, 2) not in cand_s
+
+
 def test_prefix_candidates_sampled_plan_has_no_full_frame_exchange(spark):
     """The point of doc_freq='sampled': on a doc_id-clustered shingle frame the
     candidate generator must plan ZERO exchanges of the full shingle frame —
