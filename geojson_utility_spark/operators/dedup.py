@@ -20,6 +20,7 @@ in (vectorized) expressions or Arrow batches.
 
 from __future__ import annotations
 
+import math
 import os
 from functools import reduce
 from itertools import count
@@ -385,13 +386,16 @@ def minhash_signatures(
     """
     # normalize ONCE per doc, then explode a position sequence and slice with a
     # codegen substring — no per-row array-of-strings materialization, no interpreted
-    # higher-order lambda, no re-evaluated regexp per shingle
+    # higher-order lambda, no re-evaluated regexp per shingle.  The regexp runs
+    # AFTER _spread (same bytes shuffled either way): a narrow source (one
+    # parquet file = 2 scan tasks at bench scale) would otherwise evaluate the
+    # whole corpus' regex on those few tasks while the other cores idle
     norm = _spread(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
-        ),
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
         "doc_id",
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("_t")), r"\s+", " ").alias("_norm"),
     )
     exploded = norm.select(
         "doc_id",
@@ -496,6 +500,7 @@ def jaccard_pairs(
     shingle_n: int = 8,
     storage_level: str = "MEMORY_AND_DISK",
     shingle_store: str = "bucketed",
+    pair_join_hint: str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate (doc_a, doc_b) pairs.
 
@@ -516,6 +521,18 @@ def jaccard_pairs(
     happens at call time) and leaves a managed table behind; drop via
     :func:`cleanup_shingle_tables` when done.  ``'persist'`` keeps the lazy
     single-session cache plan.
+
+    ``pair_join_hint`` (r7): ``'auto'`` keeps the measured per-store defaults
+    (``merge`` for bucketed, ``shuffle_hash`` for persist — see the comment at
+    the second join).  ``None`` drops the hint entirely: correct ONLY when the
+    ``pairs`` frame's statistics are accurate at plan time (e.g. a cache()d
+    frame already materialized by a count()) — the hint exists because
+    Catalyst's STATIC estimate of the (pairs x shingles) intermediate planned
+    a 13.4 GiB broadcast at 1M docs; with real pairs stats the planner
+    broadcasts the small pairs side instead and never the intermediate.
+    Callers with small, counted pair sets (the signature-prefiltered minhash
+    path) pass ``None`` so the tiny verify runs broadcast-side with zero
+    shingle-frame shuffle.
     """
     needed = (
         pairs.select(F.col("doc_a").alias(id_col))
@@ -531,13 +548,17 @@ def jaccard_pairs(
     # partitioning to the shuffle width (per-bucket size must track the data —
     # see _bucket_target)
     tgt = _bucket_target(df)
+    # regexp AFTER the spread shuffle (see minhash_signatures): the semi-joined
+    # corpus side often sits on few scan tasks; same bytes shuffled either way
     norm = _spread_keyed(
         df.join(needed, id_col, "left_semi").select(
-            F.col(id_col).alias("doc_id"),
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
         ),
         "doc_id",
         tgt,
+    ).select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("_t")), r"\s+", " ").alias("_norm"),
     )
     sh_ex = (
         norm.select(
@@ -570,11 +591,13 @@ def jaccard_pairs(
     # Bucketed mode replaces it with merge: the bucketed+sorted ex_b side joins
     # with zero exchange AND zero sort, and SMJ spills gracefully on the
     # intermediate side at any scale (closes the large-build-side risk).
-    second_hint = "merge" if shingle_store == "bucketed" else "shuffle_hash"
+    if pair_join_hint == "auto":
+        pair_join_hint = "merge" if shingle_store == "bucketed" else "shuffle_hash"
+    joined_a = pairs.join(ex_a, "doc_a")
+    if pair_join_hint is not None:
+        joined_a = joined_a.hint(pair_join_hint)
     inter = (
-        pairs.join(ex_a, "doc_a")
-        .hint(second_hint)
-        .join(ex_b, ["doc_b", "shingle"])
+        joined_a.join(ex_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -605,15 +628,50 @@ def minhash_near_dups(
     shingle_n: int = 8,
     bucket_cap: int | None = 20_000,
     storage_level: str = "MEMORY_AND_DISK",
-    shingle_store: str = "bucketed",
+    shingle_store: str = "auto",
+    sig_prefilter_margin: float | None = 0.125,
+    small_cands_max: int = 100_000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates -> exact
-    Jaccard verify -> pairs over threshold.  ``bucket_cap`` bounds degenerate band
-    buckets (see :func:`minhash_candidate_pairs` for the recall contract);
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    signature-agreement prefilter -> exact Jaccard verify -> pairs over
+    threshold.  ``bucket_cap`` bounds degenerate band buckets (see
+    :func:`minhash_candidate_pairs` for the recall contract);
     ``storage_level`` is the verify stage's shingle-cache knob (``DISK_ONLY`` for
     corpus-scale runs — see :func:`_persist`); ``shingle_store='bucketed'``
     swaps the verify stage's shingle cache for a doc_id-bucketed table (see
-    :func:`jaccard_pairs`)."""
+    :func:`jaccard_pairs`).
+
+    ``sig_prefilter_margin`` (r7, measured): banding admits any pair agreeing
+    on ONE band (``rows_per_band`` consecutive hashes), so most candidates are
+    low-similarity band flukes — at 50k docs, 44,796 candidates of which only
+    2,544 verify at threshold 0.5, with the signature match-count distribution
+    bimodal (flukes <= 14/32 matching hashes, true pairs >= 25/32).  Before the
+    (expensive, shingle-exploding) exact verify, drop candidates whose FULL
+    signature agreement is below ``ceil((threshold - margin) * n_hashes)``
+    matching components — a 2-long-arrays comparison per pair, no shingles
+    touched.  Verify volume shrinks ~17x at the bench corpus.
+
+    Recall contract: the prefilter's marginal miss probability is dominated by
+    the banding miss the pipeline already accepts.  A true pair at jaccard j
+    has match-count ~ Binomial(n_hashes, j); with the default margin 0.125 and
+    threshold 0.5 (cut 12/32), P[miss] at j=0.83 is ~1e-9 and at j=0.7 ~3e-5 —
+    versus banding's accepted 0.6% / 11% miss at those similarities.  Pairs AT
+    the threshold boundary are where banding recall is already ~40%; the
+    prefilter changes nothing measurable there either (P[Bin(32,.5) < 12] adds
+    under the banding miss).  ``None`` disables the prefilter and restores the
+    verify-every-candidate plan.
+
+    ``shingle_store='auto'`` (r7, measured): the surviving candidate count is
+    known exactly (the cache-materializing count below), so pick the verify
+    plan by DATA SIZE, not by a constant: at or under ``small_cands_max``
+    pairs the needed-doc shingle frame is cluster-trivial (<= ~60M rows at the
+    default cap) — use ``'persist'`` with NO pair-join hint, letting the
+    planner broadcast the small counted pairs frame so the verify runs with
+    zero shingle-frame shuffle (measured at 50k docs / 2.6k pairs: verify
+    2.6 s bucketed -> ~1 s persisted+unhinted).  Above the cap, the verify
+    side is corpus-like — the r6 bucketed store (zero-exchange b-side scan,
+    merge join) remains the measured winner at 1M+ docs.  Explicit
+    ``'bucketed'``/``'persist'`` force either plan."""
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
     # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
     sigs = _stage_checkpoint(
@@ -623,11 +681,39 @@ def minhash_near_dups(
     # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot);
     # not needed at all in the uncapped mode
     n_docs = sigs.count() if bucket_cap is not None else None
-    # cache the (small) candidate-pair set: the verify stage consumes it twice
-    # (doc semi-join + pair join)
-    cands = minhash_candidate_pairs(
-        sigs, n_bands, bucket_cap=bucket_cap, n_docs=n_docs
-    ).cache()
+    cands = minhash_candidate_pairs(sigs, n_bands, bucket_cap=bucket_cap, n_docs=n_docs)
+    if sig_prefilter_margin is not None:
+        min_match = math.ceil((threshold - sig_prefilter_margin) * n_hashes)
+        if min_match > 0:
+            # two narrow equi-joins attach the checkpointed signatures to the
+            # pair list (plain joins — sigs is corpus-sized at scale, never
+            # broadcast); the agreement count is one codegen'd 2-array pass per
+            # pair.  Shuffle volume is O(|cands|) rows of 2 ids + one
+            # n_hashes-long array — bounded by the candidate volume LSH already
+            # bounds, and repaid ~10x by the shrunken shingle verify.
+            sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa"))
+            sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb"))
+            n_match = F.size(
+                F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+            )
+            cands = (
+                cands.join(sa, "doc_a")
+                .join(sb, "doc_b")
+                .filter(n_match >= F.lit(min_match))
+                .select("doc_a", "doc_b")
+            )
+    # cache the (small) surviving candidate-pair set: the verify stage consumes
+    # it twice (doc semi-join + pair join)
+    cands = cands.cache()
+    pair_join_hint: str | None = "auto"
+    if shingle_store == "auto":
+        # the count materializes the cache (consumed twice below anyway) AND
+        # gives the planner accurate pairs statistics for the unhinted plan
+        n_cands = cands.count()
+        if n_cands <= small_cands_max:
+            shingle_store, pair_join_hint = "persist", None
+        else:
+            shingle_store = "bucketed"
     return jaccard_pairs(
         df,
         text_col,
@@ -636,6 +722,7 @@ def minhash_near_dups(
         shingle_n,
         storage_level=storage_level,
         shingle_store=shingle_store,
+        pair_join_hint=pair_join_hint,
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -51,7 +51,18 @@ def get_spark(
         # scale.  Instead the dedup/similarity verify pipelines carry TARGETED
         # join hints at the three sites where Catalyst's static estimates were
         # measured to plan catastrophic broadcasts (see dedup.py comments).
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        #
+        # r7 calibration (measured): the threshold compares Catalyst's
+        # file-bytes ESTIMATE, but snappy parquet decodes to ~4x its file size
+        # as unsafe rows, and a HashedRelation adds more — at 64 MB the 6M-row
+        # lineitem (38 MB estimated after column pruning) was planned as the
+        # BROADCAST side of q3/q5, rebuilding a ~500 MB hash relation per run
+        # (q3 3.8 s, q5 3.7-7.0 s at sf1.0).  16 MB keeps the same ~64 MB
+        # in-memory envelope the r4 number intended once the ~4x decode factor
+        # is priced in: the filtered orders side still broadcasts, lineitem
+        # never does (q3 1.1 s, q5 1.7-2.0 s; plans in plans/r07/).  Scale-
+        # neutral: the decision tracks estimated bytes, not core count.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         # Subset co-partitioning (r6, measured): allow a join to reuse a child
         # already hash-partitioned on a SUBSET of the join keys (Spark 3.3+
         # defaults this to true = all-keys-required).  With it, the bucketed
