@@ -407,16 +407,20 @@ def minhash_signatures(
         ).alias("_i"),
     ).withColumn("shingle", F.substring(F.col("_norm"), F.col("_i"), F.lit(shingle_n)))
     # hash the shingle STRING once; derive the hash family from the resulting long
-    # (xxhash64 over 8 bytes per member instead of re-traversing the string n times)
-    hashed = exploded.withColumn("_h0", F.xxhash64("shingle")).select(
-        "doc_id",
-        *[F.xxhash64("_h0", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)],
+    # (xxhash64 over 8 bytes per member instead of re-traversing the string n times).
+    # selectExpr + one array-of-mins aggregate, NOT stacked Column objects (r7,
+    # measured): each Column method is a py4j round trip, and the old
+    # 32-column/32-agg/32-array construction spent ~0.27 s of driver time
+    # BUILDING the frame before Spark saw it.  The SQL texts parse to the same
+    # expressions (int literals hash identically to F.lit ints), so signatures
+    # are bit-identical.
+    hashed = exploded.withColumn("_h0", F.xxhash64("shingle")).selectExpr(
+        "doc_id", *[f"xxhash64(_h0, {i}) AS h{i}" for i in range(n_hashes)]
     )
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
+    return hashed.groupBy("doc_id").agg(
+        F.expr(
+            "array(" + ", ".join(f"min(h{i})" for i in range(n_hashes)) + ") AS sig"
+        )
     )
 
 
@@ -673,9 +677,15 @@ def minhash_near_dups(
     merge join) remains the measured winner at 1M+ docs.  Explicit
     ``'bucketed'``/``'persist'`` force either plan."""
     # materialize signatures once (tiny: one row of n_hashes longs per doc) — the
-    # banding SELF-join would otherwise evaluate the whole shingle+hash subtree twice
+    # banding SELF-join would otherwise evaluate the whole shingle+hash subtree
+    # twice.  In the capped mode the count below follows immediately, so the
+    # checkpoint stays LAZY and the count job materializes it — one job for the
+    # whole signature pipeline instead of an eager-checkpoint job plus a count
+    # job (r7; the uncapped mode keeps the eager checkpoint because its first
+    # consumer is the banding SELF-join, which would race two materializations)
     sigs = _stage_checkpoint(
-        minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+        minhash_signatures(df, text_col, id_col, n_hashes, shingle_n),
+        eager=bucket_cap is None,
     )
     # the count is near-free on the checkpointed frame and lets the banding skip
     # the whole cap machinery when n_docs <= bucket_cap (no bucket CAN be hot);
@@ -836,24 +846,28 @@ def simhash64(
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     hashed = exploded.withColumn("th", th)
+    # expression TEXT, not stacked Column objects (r7, measured): every Column
+    # method is a py4j round trip, and 64 aggs x ~6 calls + a 64-term
+    # projection put ~0.75 s of DRIVER-side DataFrame construction in front of
+    # a 0.23 s query.  One F.expr per aggregate (and one for the assembly) is
+    # ~65 py4j calls total; the parsed plans are semantically identical —
+    # sum(CASE ...) over int literals and shiftleft(1L, bit) reproduce the old
+    # Column tree's types and values bit-for-bit (shiftleft(1L, 63) wraps to
+    # the negative min long exactly like the old bit-63 literal).
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("th"), bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"v{bit}")
+        F.expr(
+            "sum(CASE WHEN (shiftrightunsigned(th, {b}) & CAST(1 AS BIGINT)) = 1 "
+            "THEN 1 ELSE -1 END) AS v{b}".format(b=bit)
+        )
         for bit in range(n_bits)
     ]
     votes = hashed.groupBy("doc_id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for bit in range(n_bits):
-        bitval = (
-            F.lit(-(1 << 63)).cast("long") if bit == 63 else F.lit(1 << bit).cast("long")
-        )
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"v{bit}") > 0, bitval).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("doc_id", sim.alias("simhash"))
+    assembly = " | ".join(
+        "(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)".format(b=bit)
+        for bit in range(n_bits)
+    )
+    return votes.select("doc_id", F.expr(assembly).alias("simhash"))
 
 
 def hamming_expr(a, b):

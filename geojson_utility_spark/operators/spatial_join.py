@@ -258,7 +258,8 @@ class PreparedPolygons:
     prepared=...)`` (geometry parameters travel with the object)."""
 
     def __init__(self, spark, zoom, compact, min_zoom, keep_holes,
-                 norm, cover, zooms, pid_rows, pid_map, cover_idx):
+                 norm, cover, zooms, pid_rows, pid_map, cover_idx,
+                 norm_rows=None):
         self.spark = spark
         self.zoom = zoom
         self.compact = compact
@@ -271,18 +272,25 @@ class PreparedPolygons:
         self.idx_of = {pid: i for i, pid in enumerate(pid_rows)}
         self.pid_map = pid_map
         self.cover_idx = cover_idx
+        # the (polygon_id, ring_json, holes_json) rows prepare_polygons already
+        # collected for the pid list — reused by rings_broadcast so the
+        # broadcast build is driver-local, not another Spark job per call (r7)
+        self._norm_rows = norm_rows
         self._bc_rings = None
 
     def rings_broadcast(self):
         """sc.broadcast of per-poly_idx ring lists ([outer] or [outer, *holes]),
         built lazily (only the broadcast refine path needs it) and cached."""
         if self._bc_rings is None:
+            rows = self._norm_rows
+            if rows is None:
+                rows = (
+                    self.norm.filter(F.col("poly_errors") == "")
+                    .select("polygon_id", "ring_json", "holes_json")
+                    .collect()
+                )
             rings_list = [None] * len(self.pid_rows)
-            for r in (
-                self.norm.filter(F.col("poly_errors") == "")
-                .select("polygon_id", "ring_json", "holes_json")
-                .collect()
-            ):
+            for r in rows:
                 rings_list[self.idx_of[r["polygon_id"]]] = [
                     np.asarray(json.loads(r["ring_json"]), dtype=np.float64)
                 ] + [
@@ -315,23 +323,33 @@ def prepare_polygons(
     # polygon side is small: cache so normalize+cover run once, not once per zoom probe
     norm = normalize_polygons(polygons, keep_holes=keep_holes).cache()
     cover = polygon_cover(norm, zoom=zoom, compact=compact, min_zoom=min_zoom).cache()
-    if compact:
-        # distinct zooms present in the compacted cover (small driver-side list)
+    if not compact:
+        zooms = [zoom]
+    elif min_zoom is not None:
+        # static zoom range (r7): the partially-uncompacted cover only emits
+        # cells in [min_zoom, zoom], so probing that whole range needs no
+        # cover-distinct job per call — a probe at a zoom absent from the cover
+        # joins against nothing (identical matches, one fewer Spark job)
+        zooms = list(range(min_zoom, zoom + 1))
+    else:
+        # distinct zooms present in the compacted cover (small driver-side
+        # list); unbounded-coarseness covers can reach any zoom >= 0, so the
+        # probe list must come from the data
         zooms = sorted(
             r["cell_zoom"] for r in cover.select("cell_zoom").distinct().collect()
         )
-    else:
-        zooms = [zoom]
+    # ONE collect serves both the dense-id list and (lazily) the ring
+    # broadcast — the r6 shape ran a pid-distinct job here plus a second
+    # norm collect inside rings_broadcast per spatial_join call (r7)
+    norm_rows = (
+        norm.filter(F.col("poly_errors") == "")
+        .select("polygon_id", "ring_json", "holes_json")
+        .collect()
+    )
     # dense integer polygon surrogate: candidate rows carry a 4-byte poly_idx instead
     # of the polygon_id string — string columns double the per-row cost of the Python
     # handoff; ids are re-attached JVM-side from a tiny broadcast map at the end.
-    pid_rows = sorted(
-        r["polygon_id"]
-        for r in norm.filter(F.col("poly_errors") == "")
-        .select("polygon_id")
-        .distinct()
-        .collect()
-    )
+    pid_rows = sorted({r["polygon_id"] for r in norm_rows})
     pid_map = spark.createDataFrame(
         [(i, pid) for i, pid in enumerate(pid_rows)], ["poly_idx", "polygon_id"]
     )
@@ -344,6 +362,7 @@ def prepare_polygons(
     return PreparedPolygons(
         spark, zoom, compact, min_zoom, keep_holes,
         norm, cover, zooms, pid_rows, pid_map, cover_idx,
+        norm_rows=norm_rows,
     )
 
 
