@@ -1148,6 +1148,16 @@ def _prefix_candidates(
         # broadcast is immune to both: it is CAPPED at hh_top_m entries.)
         base = sh.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
     else:
+        # driver-OOM guard (r7, ADVICE r6): the top-M frame is COLLECTED toward
+        # the driver (TakeOrderedAndProject) and force-broadcast — ~16 MB per
+        # 1M entries, so a runaway hh_top_m is a driver/executor OOM, not a
+        # slow query.  10M (~160 MB broadcast) is already past any sensible
+        # heavy-hitter list; refuse larger rather than fall over mid-job.
+        if hh_top_m > 10_000_000:
+            raise ValueError(
+                f"hh_top_m={hh_top_m} exceeds the 10M broadcast-safety cap "
+                "(~16 MB driver+executor memory per 1M entries; see docstring)"
+            )
         inv = max(int(hh_sample_inv), 1)
         samp = (
             sh

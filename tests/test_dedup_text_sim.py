@@ -401,6 +401,44 @@ def test_minhash_near_dups_unchanged_by_cap(spark, docs):
     assert b == u and len(b) > 0
 
 
+def test_minhash_near_dups_unchanged_by_sig_prefilter(spark, docs):
+    """The r7 signature-agreement prefilter must not change results on a normal
+    corpus (its cut sits an order of magnitude below true-pair agreement)."""
+    base = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).toPandas()
+    unfiltered = D.minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, sig_prefilter_margin=None
+    ).toPandas()
+    b = set(map(tuple, base[["doc_a", "doc_b"]].values))
+    u = set(map(tuple, unfiltered[["doc_a", "doc_b"]].values))
+    assert b == u and len(b) > 0
+
+
+def test_minhash_near_dups_auto_store_matches_explicit(spark, docs):
+    """shingle_store='auto' (r7) picks a physical plan by candidate count; the
+    result set must equal both explicit stores."""
+    D.cleanup_shingle_tables(spark)
+    auto = D.minhash_near_dups(docs, "text", "doc_id", threshold=0.5).toPandas()
+    pers = D.minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, shingle_store="persist"
+    ).toPandas()
+    buck = D.minhash_near_dups(
+        docs, "text", "doc_id", threshold=0.5, shingle_store="bucketed"
+    ).toPandas()
+    D.cleanup_shingle_tables(spark)
+    a = set(map(tuple, auto[["doc_a", "doc_b"]].values))
+    assert a == set(map(tuple, pers[["doc_a", "doc_b"]].values))
+    assert a == set(map(tuple, buck[["doc_a", "doc_b"]].values))
+    assert len(a) > 0
+
+
+def test_prefix_candidates_hh_top_m_guard(spark, docs):
+    """hh_top_m above the broadcast-safety cap must refuse loudly (ADVICE r6:
+    the top-M list is collected toward the driver and force-broadcast)."""
+    sh = docs.select(F.col("doc_id"), F.explode(F.array(F.lit("x"))).alias("shingle"))
+    with pytest.raises(ValueError, match="broadcast-safety cap"):
+        D._prefix_candidates(sh, 0.8, doc_freq="sampled", hh_top_m=10_000_001)
+
+
 def test_ngram_prefix_filter_bounds_stop_shingle_blowup(spark):
     """Every doc shares one stop-shingle; prefix filtering must keep the candidate
     volume near-linear instead of n^2/2, while staying exact."""

@@ -398,6 +398,26 @@ def test_prepared_polygons_reuse(spark, data, oracle_pairs):
         SJ.spatial_join(pts_df)
 
 
+def test_prepared_min_zoom_static_range_matches_oracle(spark, data, oracle_pairs):
+    """compact+min_zoom (r7): the probe-zoom list is now the static range
+    [min_zoom, zoom] (no cover-distinct job); matches must be unchanged vs the
+    oracle, and the static list must cover every zoom the cover emits."""
+    pts, polys = data
+    pts_df = spark.createDataFrame(pts).withColumnRenamed("image_id", "point_id")
+    polys_df = spark.createDataFrame(polys[["polygon_id", "geojson"]])
+    z = SJ.DEFAULT_JOIN_ZOOM
+    prep = SJ.prepare_polygons(polys_df, zoom=z, compact=True, min_zoom=z - 2)
+    assert prep.zooms == list(range(z - 2, z + 1))
+    cover_zooms = {
+        r["cell_zoom"] for r in prep.cover.select("cell_zoom").distinct().collect()
+    }
+    assert cover_zooms <= set(prep.zooms)
+    got = {(r["point_id"], r["polygon_id"])
+           for r in SJ.spatial_join(pts_df, prepared=prep).collect()}
+    assert got == oracle_pairs
+    prep.unpersist()
+
+
 def test_streaming_spatial_join_matches_batch(spark, tmp_path):
     """File-source stream through the prepared-index join == batch join on the
     same rows; the plan is stateless (no watermark, no state store)."""
