@@ -622,6 +622,31 @@ def jaccard_pairs(
     )
 
 
+def _sig_prefilter_cut(threshold: float, n_hashes: int, n_bands: int) -> int:
+    """Largest match-count cut whose Binomial lower tail AT the threshold point
+    stays within the banding miss probability there:
+    ``max cut: P[Bin(n_hashes, threshold) <= cut-1] <= (1 - t^r)^n_bands``
+    (r = rows per band).  For j > threshold the prefilter tail shrinks
+    exponentially in (j - cut/n)^2 while banding's shrinks slower, so the
+    boundary point is the binding constraint — see minhash_near_dups.
+    Driver-side arithmetic over n_hashes+1 terms; exact (math.comb)."""
+    r = max(1, n_hashes // n_bands)
+    miss_band = (1.0 - threshold**r) ** n_bands
+    cdf = 0.0
+    cut = 0
+    for k in range(n_hashes + 1):
+        cdf += (
+            math.comb(n_hashes, k)
+            * threshold**k
+            * (1.0 - threshold) ** (n_hashes - k)
+        )
+        if cdf <= miss_band:
+            cut = k + 1
+        else:
+            break
+    return cut
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str,
@@ -633,7 +658,7 @@ def minhash_near_dups(
     bucket_cap: int | None = 20_000,
     storage_level: str = "MEMORY_AND_DISK",
     shingle_store: str = "auto",
-    sig_prefilter_margin: float | None = 0.125,
+    sig_prefilter_margin: float | str | None = "auto",
     small_cands_max: int = 100_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
@@ -655,14 +680,21 @@ def minhash_near_dups(
     matching components — a 2-long-arrays comparison per pair, no shingles
     touched.  Verify volume shrinks ~17x at the bench corpus.
 
-    Recall contract: the prefilter's marginal miss probability is dominated by
-    the banding miss the pipeline already accepts.  A true pair at jaccard j
-    has match-count ~ Binomial(n_hashes, j); with the default margin 0.125 and
-    threshold 0.5 (cut 12/32), P[miss] at j=0.83 is ~1e-9 and at j=0.7 ~3e-5 —
-    versus banding's accepted 0.6% / 11% miss at those similarities.  Pairs AT
-    the threshold boundary are where banding recall is already ~40%; the
-    prefilter changes nothing measurable there either (P[Bin(32,.5) < 12] adds
-    under the banding miss).  ``None`` disables the prefilter and restores the
+    Recall contract: a true pair at jaccard j has match-count ~
+    Binomial(n_hashes, j), so the prefilter's miss probability is the lower
+    Binomial tail below the cut.  The default ``'auto'`` picks the LARGEST
+    cut whose tail at j=threshold stays within the banding miss the pipeline
+    already accepts at that same point (``P[Bin(n, t) <= cut-1] <=
+    (1 - t^rows_per_band)^n_bands``) — self-calibrating across thresholds:
+    at threshold 0.5 banding misses ~60% at the boundary, so the cut is an
+    aggressive 17/32 (P[miss] ~5e-6 at the corpus' true-pair j>=0.83); at
+    threshold 0.8 banding misses only 1.5%, so the cut backs off to 20/32
+    (P[miss at j=0.82] ~0.1% vs banding's 0.8%).  A FIXED float margin cuts
+    at ``ceil((threshold - margin) * n_hashes)`` — the measured history that
+    motivated 'auto': margin 0.125 at threshold 0.8 (cut 22) lost 4 of 500k
+    true pairs at 1M docs beyond banding's own 8 (499,988 vs 499,992); the
+    auto cut 20 recovers them (re-measured: 499,992, equal to the
+    prefilter-off result).  ``None`` disables the prefilter and restores the
     verify-every-candidate plan.
 
     ``shingle_store='auto'`` (r7, measured): the surviving candidate count is
@@ -693,7 +725,10 @@ def minhash_near_dups(
     n_docs = sigs.count() if bucket_cap is not None else None
     cands = minhash_candidate_pairs(sigs, n_bands, bucket_cap=bucket_cap, n_docs=n_docs)
     if sig_prefilter_margin is not None:
-        min_match = math.ceil((threshold - sig_prefilter_margin) * n_hashes)
+        if sig_prefilter_margin == "auto":
+            min_match = _sig_prefilter_cut(threshold, n_hashes, n_bands)
+        else:
+            min_match = math.ceil((threshold - sig_prefilter_margin) * n_hashes)
         if min_match > 0:
             # two narrow equi-joins attach the checkpointed signatures to the
             # pair list (plain joins — sigs is corpus-sized at scale, never
