@@ -630,6 +630,10 @@ def _sig_prefilter_cut(threshold: float, n_hashes: int, n_bands: int) -> int:
     exponentially in (j - cut/n)^2 while banding's shrinks slower, so the
     boundary point is the binding constraint — see minhash_near_dups.
     Driver-side arithmetic over n_hashes+1 terms; exact (math.comb)."""
+    if threshold <= 0:
+        # jaccard >= 0 admits every pair — filtering would be semantically
+        # wrong (the fixed-margin path skips the filter here too)
+        return 0
     r = max(1, n_hashes // n_bands)
     miss_band = (1.0 - threshold**r) ** n_bands
     cdf = 0.0
@@ -644,7 +648,9 @@ def _sig_prefilter_cut(threshold: float, n_hashes: int, n_bands: int) -> int:
             cut = k + 1
         else:
             break
-    return cut
+    # degenerate thresholds (t -> 0 makes miss_band -> 1, letting the loop
+    # run past the last bucket): never demand more matches than exist
+    return min(cut, n_hashes)
 
 
 def minhash_near_dups(
